@@ -1,0 +1,170 @@
+"""ResUNet30 separator — TPU-native rebuild of reference resunet.py.
+
+Differences from the reference by design (TPU-first):
+- NHWC layout (B, T, F, C) so XLA convs hit the MXU without layout transposes.
+- The STFT/ISTFT front/back-end are fused windowed-DFT matmul ops
+  (lass_tpu.dsp.stft), not conv-layer submodules with frozen DFT weights.
+- FiLM is ONE fused 512 -> sum(C_i) matmul (lass_tpu.models.film), not ~40
+  small Linears.
+- The channel loop of base.py:91-113 is vectorized.
+- All shapes static under jit; mixed precision via `compute_dtype`
+  (bfloat16 activations, float32 params/masks/DSP).
+
+Numerical spec being matched: reference resunet.py:267-595 (window 1024,
+hop 160, center reflect, bn0 over 513 freq bins, time pad to /32, 513->512
+freq crop, K=3 mask with sigmoid magnitude + tanh complex phase rotation,
+relu output magnitude, ISTFT back to the input length).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lass_tpu.dsp.stft import (
+    STFTConfig,
+    istft,
+    magphase,
+    wav_to_spectrogram_phase,
+)
+from lass_tpu.models.film import FusedFiLM, resunet30_film_spec
+from lass_tpu.nn.blocks import DecoderBlockRes1B, EncoderBlockRes1B
+from lass_tpu.nn.layers import BatchNorm, conv2d
+
+TIME_DOWNSAMPLE_RATIO = 32  # 2 ** (number of time-downsampling encoder blocks)
+
+
+class ResUNet30Base(nn.Module):
+    """Spectrogram-domain UNet: (B, T, F=512, C_in) -> (B, T, F, C_out * K)."""
+
+    input_channels: int = 1
+    output_channels: int = 1
+    K: int = 3
+    momentum: float = 0.01
+
+    @nn.compact
+    def __call__(self, x: jax.Array, film: Dict[str, Any], train: bool
+                 ) -> jax.Array:
+        x = conv2d(32, (1, 1), name="pre_conv")(x)
+        x1p, x1 = EncoderBlockRes1B(32, 32, (2, 2), name="encoder_block1")(
+            x, film["encoder_block1"], train)
+        x2p, x2 = EncoderBlockRes1B(32, 64, (2, 2), name="encoder_block2")(
+            x1p, film["encoder_block2"], train)
+        x3p, x3 = EncoderBlockRes1B(64, 128, (2, 2), name="encoder_block3")(
+            x2p, film["encoder_block3"], train)
+        x4p, x4 = EncoderBlockRes1B(128, 256, (2, 2), name="encoder_block4")(
+            x3p, film["encoder_block4"], train)
+        x5p, x5 = EncoderBlockRes1B(256, 384, (2, 2), name="encoder_block5")(
+            x4p, film["encoder_block5"], train)
+        x6p, x6 = EncoderBlockRes1B(384, 384, (1, 2), name="encoder_block6")(
+            x5p, film["encoder_block6"], train)
+        xc, _ = EncoderBlockRes1B(384, 384, (1, 1), name="conv_block7a")(
+            x6p, film["conv_block7a"], train)
+        h = DecoderBlockRes1B(384, 384, (1, 2), name="decoder_block1")(
+            xc, x6, film["decoder_block1"], train)
+        h = DecoderBlockRes1B(384, 384, (2, 2), name="decoder_block2")(
+            h, x5, film["decoder_block2"], train)
+        h = DecoderBlockRes1B(384, 256, (2, 2), name="decoder_block3")(
+            h, x4, film["decoder_block3"], train)
+        h = DecoderBlockRes1B(256, 128, (2, 2), name="decoder_block4")(
+            h, x3, film["decoder_block4"], train)
+        h = DecoderBlockRes1B(128, 64, (2, 2), name="decoder_block5")(
+            h, x2, film["decoder_block5"], train)
+        h = DecoderBlockRes1B(64, 32, (2, 2), name="decoder_block6")(
+            h, x1, film["decoder_block6"], train)
+        return conv2d(self.output_channels * self.K, (1, 1),
+                      name="after_conv")(h)
+
+
+def apply_mask_and_reconstruct(
+    mask_logits: jax.Array,
+    mag: jax.Array,
+    cos_in: jax.Array,
+    sin_in: jax.Array,
+    audio_length: int,
+    stft_cfg: STFTConfig,
+    output_channels: int,
+    K: int = 3,
+) -> jax.Array:
+    """K=3 complex-mask apply + phase rotation + ISTFT.
+
+    mask_logits: (B, T, F, C_out*K); mag/cos_in/sin_in: (B, T, F, C_in).
+    Returns (B, C_out, audio_length). Reference resunet.py:436-519.
+    """
+    b, t, f, _ = mask_logits.shape
+    x = mask_logits.astype(jnp.float32).reshape(b, t, f, output_channels, K)
+    mask_mag = jax.nn.sigmoid(x[..., 0])
+    _, mask_cos, mask_sin = magphase(jnp.tanh(x[..., 1]), jnp.tanh(x[..., 2]))
+
+    cos_in = cos_in.astype(jnp.float32)
+    sin_in = sin_in.astype(jnp.float32)
+    out_cos = cos_in * mask_cos - sin_in * mask_sin
+    out_sin = sin_in * mask_cos + cos_in * mask_sin
+    out_mag = jax.nn.relu(mag.astype(jnp.float32) * mask_mag)
+
+    # reshape to (B*C_out, T, F) for a single batched ISTFT
+    out_real = jnp.moveaxis(out_mag * out_cos, -1, 1).reshape(
+        b * output_channels, t, f)
+    out_imag = jnp.moveaxis(out_mag * out_sin, -1, 1).reshape(
+        b * output_channels, t, f)
+    wav = istft(out_real, out_imag, audio_length, stft_cfg)
+    return wav.reshape(b, output_channels, audio_length)
+
+
+class ResUNet30(nn.Module):
+    """Full separator: waveform in, waveform out, FiLM-conditioned.
+
+    API parity with reference ResUNet30.forward (resunet.py:640-653):
+    ``model.apply(vars, {'mixture': (B, C, L), 'condition': (B, 512)})``
+    -> ``{'waveform': (B, C, L)}``.
+    """
+
+    input_channels: int = 1
+    output_channels: int = 1
+    condition_size: int = 512
+    K: int = 3
+    window_size: int = 1024
+    hop_size: int = 160
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def stft_cfg(self) -> STFTConfig:
+        return STFTConfig(n_fft=self.window_size, hop_length=self.hop_size)
+
+    @nn.compact
+    def __call__(self, input_dict: Dict[str, jax.Array], train: bool = False
+                 ) -> Dict[str, jax.Array]:
+        mixture = input_dict["mixture"]  # (B, C, L)
+        condition = input_dict["condition"]  # (B, condition_size)
+        audio_length = mixture.shape[-1]
+
+        film = FusedFiLM(resunet30_film_spec(), self.condition_size,
+                         name="film")(condition.astype(jnp.float32))
+
+        mag, cos_in, sin_in = wav_to_spectrogram_phase(
+            mixture, self.stft_cfg)  # each (B, T, F, C)
+
+        freq_bins = self.stft_cfg.freq_bins
+        origin_t = mag.shape[1]
+        pad_t = int(np.ceil(origin_t / TIME_DOWNSAMPLE_RATIO)
+                    ) * TIME_DOWNSAMPLE_RATIO - origin_t
+
+        x = BatchNorm(freq_bins, axis=2, name="bn0")(mag, train)
+        x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+        x = x[:, :, :freq_bins - 1, :]  # 513 -> 512
+        x = x.astype(self.compute_dtype)
+
+        x = ResUNet30Base(self.input_channels, self.output_channels, self.K,
+                          name="base")(x, film, train)
+
+        # restore original time/freq extent (reference resunet.py:572-574)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        x = x[:, :origin_t]
+
+        waveform = apply_mask_and_reconstruct(
+            x, mag, cos_in, sin_in, audio_length, self.stft_cfg,
+            self.output_channels, self.K)
+        return {"waveform": waveform}

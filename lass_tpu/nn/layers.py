@@ -1,0 +1,150 @@
+"""Core layers with exact PyTorch numerical semantics.
+
+The separation model's parity with the reference (resunet.py, base.py) hinges
+on BatchNorm details PyTorch and stock Flax disagree on:
+
+- torch momentum m means ``running = (1 - m) * running + m * batch``
+  (reference uses m=0.01, resunet.py:276);
+- torch updates running_var with the UNBIASED batch variance but normalizes
+  activations with the BIASED one;
+- eps = 1e-5.
+
+So we implement BatchNorm ourselves instead of using flax.linen.BatchNorm.
+Stats are computed in float32 regardless of the activation dtype. Under
+jit/GSPMD with the batch axis sharded over the mesh, the global-batch mean
+below IS the cross-replica sync — XLA inserts the collectives — giving exact
+`sync_batchnorm: True` parity (reference train.py:278) with zero extra code.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+xavier_uniform = nn.initializers.xavier_uniform
+
+
+class BatchNorm(nn.Module):
+    """Torch-semantics batch normalization over an arbitrary feature axis."""
+
+    features: int
+    momentum: float = 0.01
+    eps: float = 1e-5
+    axis: int = -1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        feature_axis = self.axis % x.ndim
+        reduction_axes = tuple(i for i in range(x.ndim) if i != feature_axis)
+        shape = [1] * x.ndim
+        shape[feature_axis] = self.features
+
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduction_axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=reduction_axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = x.size // self.features
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.eps) * scale.astype(jnp.float32)
+        y = (x.astype(jnp.float32) - mean.reshape(shape)) * inv.reshape(shape)
+        y = y + bias.astype(jnp.float32).reshape(shape)
+        return y.astype(x.dtype)
+
+
+def conv2d(
+    features: int,
+    kernel_size: Tuple[int, int] = (3, 3),
+    strides: Tuple[int, int] = (1, 1),
+    use_bias: bool = True,
+    name: Optional[str] = None,
+    dtype: Any = None,
+) -> nn.Conv:
+    """NHWC conv, 'SAME' padding for odd kernels (== torch padding k//2 at
+    stride 1), xavier-uniform kernel / zero bias init (reference base.py:9-15).
+    """
+    return nn.Conv(
+        features=features,
+        kernel_size=kernel_size,
+        strides=strides,
+        padding="SAME",
+        use_bias=use_bias,
+        kernel_init=xavier_uniform(),
+        bias_init=nn.initializers.zeros,
+        name=name,
+        dtype=dtype,
+    )
+
+
+def conv_transpose2d(
+    features: int,
+    kernel_size: Tuple[int, int],
+    strides: Tuple[int, int],
+    use_bias: bool = False,
+    name: Optional[str] = None,
+    dtype: Any = None,
+) -> nn.ConvTranspose:
+    """Transposed conv with kernel == stride (the reference's upsampling,
+    resunet.py:216-224).
+
+    transpose_kernel=True makes the op numerically identical to torch's
+    conv_transpose2d with kernel = torch_weight.transpose(2, 3, 1, 0)
+    (verified by tests/test_layers.py), so checkpoint conversion is a pure
+    transpose. xavier-uniform is symmetric in (fan_in, fan_out) so the init
+    distribution matches torch despite the kernel layout difference.
+    """
+    return nn.ConvTranspose(
+        features=features,
+        kernel_size=kernel_size,
+        strides=strides,
+        padding="VALID",
+        use_bias=use_bias,
+        transpose_kernel=True,
+        kernel_init=xavier_uniform(),
+        bias_init=nn.initializers.zeros,
+        name=name,
+        dtype=dtype,
+    )
+
+
+def dense(
+    features: int,
+    use_bias: bool = True,
+    name: Optional[str] = None,
+    dtype: Any = None,
+) -> nn.Dense:
+    return nn.Dense(
+        features=features,
+        use_bias=use_bias,
+        kernel_init=xavier_uniform(),
+        bias_init=nn.initializers.zeros,
+        name=name,
+        dtype=dtype,
+    )
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.01) -> jax.Array:
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def avg_pool(x: jax.Array, window: Tuple[int, int]) -> jax.Array:
+    """Non-overlapping average pool over the (H, W) axes of NHWC input."""
+    return nn.avg_pool(x, window_shape=window, strides=window, padding="VALID")
