@@ -7,10 +7,52 @@ equivalent jnp schedule (branchless, jit-safe).
 """
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, NamedTuple
 
+import chex
+import jax
 import jax.numpy as jnp
 import optax
+
+
+class TorchAmsgradState(NamedTuple):
+    count: chex.Array
+    mu: optax.Updates
+    nu: optax.Updates
+    nu_max: optax.Updates
+
+
+def scale_by_torch_amsgrad(b1: float = 0.9, b2: float = 0.999,
+                           eps: float = 1e-8) -> optax.GradientTransformation:
+    """Torch-semantics AMSGrad: running max over the RAW second moment,
+    bias-correction applied afterward. optax.amsgrad maxes the
+    bias-corrected moment instead and diverges from torch by ~1e-3/step
+    (verified in tests/test_mixer_losses_optim.py)."""
+
+    def init_fn(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return TorchAmsgradState(
+            count=jnp.zeros([], jnp.int32),
+            mu=zeros,
+            nu=jax.tree_util.tree_map(jnp.zeros_like, params),
+            nu_max=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * jnp.square(g), state.nu, updates)
+        nu_max = jax.tree_util.tree_map(jnp.maximum, state.nu_max, nu)
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        new_updates = jax.tree_util.tree_map(
+            lambda m, vmax: (m / bc1) / (jnp.sqrt(vmax / bc2) + eps),
+            mu, nu_max)
+        return new_updates, TorchAmsgradState(count, mu, nu, nu_max)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def linear_warm_up(warm_up_steps: int, reduce_lr_steps: int) -> Callable:
@@ -55,8 +97,9 @@ def build_optimizer(
     if optimizer_type != "AdamW":
         raise NotImplementedError(f"optimizer '{optimizer_type}'")
     lam = get_lr_schedule(lr_lambda_type, warm_up_steps, reduce_lr_steps)
-    # torch AdamW with weight_decay=0.0 and amsgrad=True == optax.amsgrad
-    # (betas 0.9/0.999, eps 1e-8 — reference models/audiosep.py:122-130)
-    return optax.amsgrad(
-        learning_rate=lambda step: learning_rate * lam(step),
-        b1=0.9, b2=0.999, eps=1e-8)
+    # torch AdamW with weight_decay=0.0 and amsgrad=True (betas 0.9/0.999,
+    # eps 1e-8 — reference models/audiosep.py:122-130), LambdaLR per-step
+    return optax.chain(
+        scale_by_torch_amsgrad(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_learning_rate(
+            lambda step: learning_rate * lam(step)))
