@@ -1,0 +1,65 @@
+"""CLAP joint-embedding components needed for LASS.
+
+Reference: models/CLAP/open_clip/model.py — roberta branch + 2-layer MLP
+text_projection (:517-531), audio_projection (:565-570), normalized
+embeddings (:732-781). Only the pieces the separation stack uses are here;
+the contrastive-pretraining harness (loss.py, training/) is out of scope by
+design (SURVEY.md §2.4: "vestigial for LASS").
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lass_tpu.models.clap.roberta import RobertaConfig, RobertaModel
+
+
+class MLPProjection(nn.Module):
+    """Linear -> ReLU -> Linear projection into the joint space
+    (model.py:517-531 text_projection / :565-570 audio_projection)."""
+
+    out_dim: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc1")(x)
+        x = jax.nn.relu(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+
+
+class CLAPTextEncoder(nn.Module):
+    """Caption token ids -> normalized 512-d joint embedding
+    (model.py:658-665 encode_text + :732-752 get_text_embedding)."""
+
+    roberta_cfg: RobertaConfig = RobertaConfig()
+    joint_embed_dim: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array, attention_mask: jax.Array
+                 ) -> jax.Array:
+        _, pooled = RobertaModel(self.roberta_cfg, self.dtype,
+                                 name="roberta")(input_ids, attention_mask)
+        proj = MLPProjection(self.joint_embed_dim, self.dtype,
+                             name="text_projection")(pooled)
+        norm = jnp.linalg.norm(proj, axis=-1, keepdims=True)
+        return proj / jnp.maximum(norm, 1e-12)
+
+
+class CLAPAudioProjection(nn.Module):
+    """HTSAT embedding -> normalized 512-d joint embedding
+    (model.py:754-781 get_audio_embedding)."""
+
+    joint_embed_dim: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, audio_embedding: jax.Array) -> jax.Array:
+        proj = MLPProjection(self.joint_embed_dim, self.dtype,
+                             name="audio_projection")(audio_embedding)
+        norm = jnp.linalg.norm(proj, axis=-1, keepdims=True)
+        return proj / jnp.maximum(norm, 1e-12)

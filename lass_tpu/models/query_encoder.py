@@ -1,0 +1,97 @@
+"""CLAP query encoder facade — the reference CLAP_Encoder API
+(models/clap_encoder.py:93-106): ``get_query_embed(modality, audio=, text=,
+use_text_ratio=)`` -> (B, 512) normalized conditioning vectors.
+
+- text path: host BPE tokenize -> jitted (RoBERTa + text_projection +
+  normalize). The reference's batch-of-1 doubling hack
+  (clap_encoder.py:79-88) is unnecessary here and intentionally absent.
+- audio path: resample to 48 kHz + HTSAT + audio_projection (wired in once
+  the HTSAT port lands; raises cleanly until then).
+- 'hybird' [sic — reference spelling kept for API parity]: per-call coin
+  flip against use_text_ratio, host-side RNG seeded explicitly (replaces
+  the reference's global random.seed(batch_idx)).
+- The reference audio path embeds only the FIRST item due to a
+  return-inside-loop bug (clap_encoder.py:74-76, latent because baseline
+  use_text_ratio=1.0); we do NOT reproduce that bug (SURVEY.md §7 quirk 7).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lass_tpu.models.clap.model import CLAPTextEncoder
+from lass_tpu.models.clap.roberta import RobertaConfig
+from lass_tpu.models.clap.tokenizer import (
+    RobertaBPETokenizer, WhitespaceFallbackTokenizer)
+
+
+class CLAPQueryEncoder:
+    encoder_type = "CLAP"
+
+    def __init__(
+        self,
+        text_params: Optional[Any] = None,
+        tokenizer: Optional[Callable] = None,
+        roberta_cfg: RobertaConfig = RobertaConfig(),
+        joint_embed_dim: int = 512,
+        max_length: int = 512,
+        pad_to: Optional[int] = 64,
+        audio_embed_fn: Optional[Callable] = None,
+        rng_seed: int = 0,
+    ):
+        self.text_model = CLAPTextEncoder(roberta_cfg, joint_embed_dim)
+        if text_params is None:
+            dummy = jnp.zeros((1, 8), jnp.int32)
+            text_params = self.text_model.init(
+                jax.random.PRNGKey(0), dummy, jnp.ones_like(dummy))["params"]
+        self.text_params = text_params
+        if tokenizer is None:
+            try:
+                tokenizer = RobertaBPETokenizer()
+            except FileNotFoundError:
+                tokenizer = WhitespaceFallbackTokenizer(
+                    roberta_cfg.vocab_size)
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        self.pad_to = pad_to
+        self.audio_embed_fn = audio_embed_fn
+        self._rng = np.random.default_rng(rng_seed)
+        self._jit_text = jax.jit(
+            lambda params, ids, mask: self.text_model.apply(
+                {"params": params}, ids, mask))
+
+    # -- modality paths ---------------------------------------------------
+    def _get_text_embed(self, texts: Sequence[str]) -> jax.Array:
+        tok = self.tokenizer(texts, max_length=self.max_length,
+                             pad_to=self.pad_to)
+        return self._jit_text(self.text_params,
+                              jnp.asarray(tok["input_ids"]),
+                              jnp.asarray(tok["attention_mask"]))
+
+    def _get_audio_embed(self, audio: jax.Array) -> jax.Array:
+        if self.audio_embed_fn is None:
+            raise NotImplementedError(
+                "audio query path requires the HTSAT encoder "
+                "(pass audio_embed_fn)")
+        return self.audio_embed_fn(audio)
+
+    # -- reference API ----------------------------------------------------
+    def get_query_embed(self, modality: str,
+                        audio: Optional[jax.Array] = None,
+                        text: Optional[Sequence[str]] = None,
+                        use_text_ratio: float = 0.5,
+                        seed: Optional[int] = None) -> jax.Array:
+        if modality == "text":
+            return self._get_text_embed(text)
+        if modality == "audio":
+            return self._get_audio_embed(audio)
+        if modality == "hybird":  # reference spelling, clap_encoder.py:98
+            rng = np.random.default_rng(seed) if seed is not None \
+                else self._rng
+            if rng.random() > use_text_ratio:
+                return self._get_audio_embed(audio)
+            return self._get_text_embed(text)
+        raise NotImplementedError(f"modality '{modality}'")
