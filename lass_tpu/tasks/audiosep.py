@@ -1,4 +1,4 @@
-"""AudioSep training task: one pure jittable train step.
+"""AudioSep training task: pure jittable train steps.
 
 Replaces the reference's Lightning module (models/audiosep.py:52-113): the
 step mixes on device, conditions on a (frozen) query embedding, runs the
@@ -6,14 +6,21 @@ separator with batch-stat mutation, takes grads, and applies torch-exact
 AMSGrad — all inside ONE compiled function. Batch sharding over the mesh's
 'data' axis makes gradient/BN reduction implicit (the DDP analog).
 
-The query embedding enters as `batch['condition']`: the CLAP encoder is
-frozen in the reference (clap_encoder.py:38-41), so its forward is hoisted
-out of the gradient path and can run in its own jit (or fused later); the
-hybrid text/audio modality choice (audiosep.py:82-88) happens there.
+Two step flavors:
+- ``train_step``: batch = {'waveform', 'condition'}; mixing happens inside
+  the jit (fastest path; right for text-only conditioning, the baseline —
+  use_text_ratio=1.0, config/audiosep_base.yaml:30).
+- ``train_step_premixed``: batch = {'mixture', 'segment', 'condition'};
+  for hybrid/audio conditioning where the query encoder must see the mixed
+  target segments first (reference audiosep.py:77-88), or for precomputed
+  pipelines.
+
+The query embedding enters as data: the CLAP encoder is frozen in the
+reference (clap_encoder.py:38-41), so its forward is hoisted out of the
+gradient path and runs in its own jit.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.struct
@@ -60,13 +67,10 @@ class AudioSepTask:
             opt_state=self.optimizer.init(variables["params"]),
         )
 
-    def train_step(
-        self, state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array
-    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        """batch: {'waveform': (B, 1, L), 'condition': (B, 512)}."""
-        step_key = jax.random.fold_in(rng, state.step)
-        mixtures, segments = self.mixer(batch["waveform"], step_key)
-        condition = jax.lax.stop_gradient(batch["condition"])
+    def _update(self, state: TrainState, mixtures: jax.Array,
+                segments: jax.Array, condition: jax.Array
+                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        condition = jax.lax.stop_gradient(condition)
 
         def compute_loss(params):
             out, mutated = self.model.apply(
@@ -94,6 +98,26 @@ class AudioSepTask:
             "grad_norm": optax.global_norm(grads),
         }
         return new_state, metrics
+
+    def train_step(
+        self, state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        """batch: {'waveform': (B, 1, L), 'condition': (B, 512)}."""
+        step_key = jax.random.fold_in(rng, state.step)
+        mixtures, segments = self.mixer(batch["waveform"], step_key)
+        return self._update(state, mixtures, segments, batch["condition"])
+
+    def train_step_premixed(
+        self, state: TrainState, batch: Dict[str, jax.Array]
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        """batch: {'mixture', 'segment': (B, 1, L), 'condition': (B, 512)}."""
+        return self._update(state, batch["mixture"], batch["segment"],
+                            batch["condition"])
+
+    def mix(self, waveforms: jax.Array, rng: jax.Array, step: jax.Array
+            ) -> Tuple[jax.Array, jax.Array]:
+        """Standalone jittable mixing (for hybrid conditioning flows)."""
+        return self.mixer(waveforms, jax.random.fold_in(rng, step))
 
     def eval_forward(self, state: TrainState,
                      batch: Dict[str, jax.Array]) -> jax.Array:

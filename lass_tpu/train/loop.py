@@ -1,0 +1,199 @@
+"""End-to-end training loop.
+
+Replaces the reference's Lightning Trainer wiring (train.py:141-294):
+workspace layout (get_dirs :22-86), data module, model/loss/mixer/encoder
+construction (:206-245), checkpoint cadence (callbacks/base.py), metric
+logging, resume. All device math is jitted; batches are sharded over the
+mesh 'data' axis (the DDP analog, SURVEY.md §5.8).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import pathlib
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lass_tpu.config import Config, load_config
+from lass_tpu.data.datafiles import AudioTextDataset
+from lass_tpu.data.datamodule import DataModule
+from lass_tpu.data.mixer import SegmentMixer
+from lass_tpu.losses import get_loss_function
+from lass_tpu.models.query_encoder import CLAPQueryEncoder
+from lass_tpu.models.resunet import ResUNet30
+from lass_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, param_shardings, replicated)
+from lass_tpu.tasks.audiosep import AudioSepTask, TrainState
+from lass_tpu.train.checkpoint import CheckpointManager
+from lass_tpu.train.optim import build_optimizer
+from lass_tpu.utils.logging import MetricsLogger, create_logging
+
+
+def get_dirs(workspace: str, filename: str, config_yaml: str,
+             devices_num: int) -> List[str]:
+    """Workspace layout, same naming as reference train.py:22-86."""
+    yaml_name = pathlib.Path(config_yaml).stem
+    sub = f"{yaml_name},devices={devices_num}"
+    dirs = []
+    for kind in ["checkpoints", "logs", "tf_logs", "statistics"]:
+        d = os.path.join(workspace, kind, filename, sub)
+        os.makedirs(d, exist_ok=True)
+        dirs.append(d)
+    return dirs
+
+
+def build_model(cfg: Config):
+    if cfg.model.model_type != "ResUNet30":
+        raise NotImplementedError(cfg.model.model_type)
+    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" \
+        else jnp.float32
+    return ResUNet30(
+        input_channels=cfg.model.input_channels,
+        output_channels=cfg.model.output_channels,
+        condition_size=cfg.model.condition_size,
+        compute_dtype=dtype,
+    )
+
+
+class Trainer:
+    def __init__(
+        self,
+        config_yaml: str,
+        workspace: str,
+        resume_checkpoint_path: Optional[str] = None,
+        query_encoder: Optional[CLAPQueryEncoder] = None,
+        model_parallel: int = 1,
+        filename: str = "train",
+    ):
+        self.cfg = load_config(config_yaml)
+        devices = jax.devices()
+        self.mesh = make_mesh(devices, model_parallel=model_parallel)
+        (self.checkpoints_dir, self.logs_dir, self.tf_logs_dir,
+         _stats_dir) = get_dirs(workspace, filename, config_yaml,
+                                len(devices))
+        create_logging(self.logs_dir)
+        logging.info("config: %s", self.cfg)
+
+        cfg = self.cfg
+        self.task = AudioSepTask(
+            model=build_model(cfg),
+            mixer=SegmentMixer(cfg.data.max_mix_num,
+                               cfg.data.loudness_norm.lower_db,
+                               cfg.data.loudness_norm.higher_db),
+            optimizer=build_optimizer(
+                cfg.train.optimizer.optimizer_type,
+                cfg.train.optimizer.learning_rate,
+                cfg.train.optimizer.lr_lambda_type,
+                cfg.train.optimizer.warm_up_steps,
+                cfg.train.optimizer.reduce_lr_steps),
+            loss_fn=get_loss_function(cfg.train.loss_type),
+        )
+        if cfg.model.query_net != "CLAP":
+            raise NotImplementedError(cfg.model.query_net)
+        self.query_encoder = query_encoder or CLAPQueryEncoder()
+        self.use_text_ratio = cfg.model.use_text_ratio
+
+        dataset = AudioTextDataset(
+            datafiles=cfg.data.datafiles,
+            sampling_rate=cfg.data.sampling_rate,
+            max_clip_len=cfg.data.segment_seconds,
+        )
+        global_batch = cfg.train.batch_size_per_device * len(devices)
+        self.datamodule = DataModule(dataset, batch_size=global_batch,
+                                     num_workers=cfg.train.num_workers,
+                                     seed=cfg.train.random_seed)
+
+        self.ckpt = CheckpointManager(
+            self.checkpoints_dir,
+            save_step_frequency=cfg.train.save_step_frequency)
+        self.metrics = MetricsLogger(self.tf_logs_dir,
+                                     run_name=pathlib.Path(config_yaml).stem)
+
+        state = self.task.init_state(
+            jax.random.PRNGKey(cfg.train.random_seed),
+            cfg.data.segment_samples, cfg.model.condition_size)
+        if resume_checkpoint_path:
+            state = self.ckpt.restore(
+                jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state),
+                step=_step_from_path(resume_checkpoint_path))
+            logging.info("resumed from %s", resume_checkpoint_path)
+
+        # place state/batches on the mesh
+        rep = replicated(self.mesh)
+        p_shard = param_shardings(state.params, self.mesh)
+        self.state = TrainState(
+            step=jax.device_put(state.step, rep),
+            params=jax.device_put(state.params, p_shard),
+            batch_stats=jax.device_put(state.batch_stats, rep),
+            opt_state=jax.device_put(
+                state.opt_state,
+                _opt_shardings(state.opt_state, p_shard, rep)),
+        )
+        self.batch_shard = batch_sharding(self.mesh)
+        self.rep = rep
+        self._step_fn = jax.jit(self.task.train_step, donate_argnums=(0,))
+
+    def fit(self, max_steps: Optional[int] = None) -> TrainState:
+        cfg = self.cfg
+        stop_at = cfg.train.early_stop_steps
+        if max_steps is not None:
+            stop_at = min(stop_at, max_steps)
+        rng = jax.device_put(
+            jax.random.PRNGKey(cfg.train.random_seed + 1), self.rep)
+
+        log_every = 50  # reference train.py:276
+        t_last = time.perf_counter()
+        with self.mesh:
+            for batch in self.datamodule.train_dataloader():
+                at = batch["audio_text"]
+                condition = self.query_encoder.get_query_embed(
+                    "hybird", text=at["text"],
+                    audio=None if self.use_text_ratio >= 1.0
+                    else at["waveform"][:, 0],
+                    use_text_ratio=self.use_text_ratio)
+                data = {
+                    "waveform": jax.device_put(
+                        jnp.asarray(at["waveform"]), self.batch_shard),
+                    "condition": jax.device_put(
+                        jnp.asarray(condition), self.batch_shard),
+                }
+                self.state, metrics = self._step_fn(self.state, data, rng)
+                step = int(self.state.step)
+                if step % log_every == 0 or step == 1:
+                    loss = float(metrics["train_loss"])
+                    dt = time.perf_counter() - t_last
+                    t_last = time.perf_counter()
+                    sps = log_every / dt if step > 1 else 1 / dt
+                    logging.info("step %d loss %.5f (%.2f steps/s)",
+                                 step, loss, sps)
+                    self.metrics.log(step, {
+                        "train_loss": loss,
+                        "grad_norm": float(metrics["grad_norm"]),
+                        "steps_per_sec": sps,
+                    })
+                self.ckpt.maybe_save(step, self.state)
+                if step >= stop_at:
+                    break
+        self.ckpt.wait()
+        self.metrics.finish()
+        return self.state
+
+
+def _step_from_path(path: str) -> Optional[int]:
+    """Accept either a checkpoint dir (latest) or .../<step>/ path."""
+    name = pathlib.Path(path).name
+    return int(name) if name.isdigit() else None
+
+
+def _opt_shardings(opt_state, p_shard, rep):
+    from lass_tpu.train.optim import TorchAmsgradState
+
+    ams, rest = opt_state
+    return (TorchAmsgradState(count=rep, mu=p_shard, nu=p_shard,
+                              nu_max=p_shard),
+            jax.tree_util.tree_map(lambda _: rep, rest))
