@@ -1,0 +1,62 @@
+"""DCASE T9 evaluation CLI — same surface as reference dcase_evaluator.py:
+build a DCASEEvaluator over (csv, audio_dir) and run a checkpoint.
+
+    python dcase_evaluator.py --checkpoint_path CKPT \
+        --eval_indexes lass_synthetic_validation.csv \
+        --audio_dir lass_validation [--config_yaml config/audiosep_base.yaml]
+"""
+import argparse
+
+import jax
+import numpy as np
+
+from lass_tpu.evaluation.dcase import DCASEEvaluator, SeparationInference
+from lass_tpu.models.query_encoder import CLAPQueryEncoder
+
+
+def eval(evaluator: DCASEEvaluator, checkpoint_path: str,
+         config_yaml: str = "config/audiosep_base.yaml",
+         query_encoder: CLAPQueryEncoder = None):
+    """Reference-compatible harness (dcase_evaluator.py:126-145)."""
+    from lass_tpu.config import load_config
+    from lass_tpu.tasks.audiosep import TrainState
+    from lass_tpu.train.loop import build_model
+    from lass_tpu.convert.checkpoint_io import load_inference_variables
+
+    cfg = load_config(config_yaml)
+    model = build_model(cfg)
+    variables = load_inference_variables(model, checkpoint_path,
+                                         cfg.data.segment_samples,
+                                         cfg.model.condition_size)
+    query_encoder = query_encoder or CLAPQueryEncoder()
+    pl_model = SeparationInference(model, variables, query_encoder)
+
+    print("-------  Start Evaluation  -------")
+    sisdr, sdri, sdr = evaluator(pl_model)
+    print(f"SDR: {sdr:.3f}, SDRi: {sdri:.3f}, SISDR: {sisdr:.3f}")
+    print("-------------------------  Done  ---------------------------")
+    return sisdr, sdri, sdr
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint_path", type=str, required=True)
+    parser.add_argument("--config_yaml", type=str,
+                        default="config/audiosep_base.yaml")
+    parser.add_argument("--eval_indexes", type=str,
+                        default="lass_synthetic_validation.csv")
+    parser.add_argument("--audio_dir", type=str, default="lass_validation")
+    parser.add_argument("--batch_size", type=int, default=16)
+    args = parser.parse_args()
+
+    evaluator = DCASEEvaluator(
+        sampling_rate=16000,
+        eval_indexes=args.eval_indexes,
+        audio_dir=args.audio_dir,
+        batch_size=args.batch_size,
+    )
+    eval(evaluator, args.checkpoint_path, args.config_yaml)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""PyTorch checkpoint -> lass_tpu pytree converters.
+
+Three torch artifacts matter for parity eval (SURVEY.md §5.4):
+1. the AudioSep separation checkpoint (Lightning .ckpt, keys under
+   ``ss_model.`` — reference utils.py:356-400);
+2. the CLAP checkpoint (``text_branch.`` roberta + ``text_projection`` MLP +
+   ``audio_branch.`` HTSAT — open_clip/factory.py:54-67 strips ``module.``);
+3. RoBERTa weights (same layout as any HF RobertaModel state dict).
+
+Weight-layout rules (verified in tests/test_layers.py, tests/test_roberta.py):
+- Linear:        torch (out, in)        -> kernel (in, out)      [transpose]
+- Conv2d:        torch (O, I, kh, kw)   -> kernel (kh, kw, I, O)
+- ConvTranspose: torch (I, O, kh, kw)   -> kernel (kh, kw, O, I)
+  (flax transpose_kernel=True convention)
+- BatchNorm:     weight->scale, bias->bias; running stats -> batch_stats
+- FiLM: the reference's ~40 Linears named 'a->b->beta1'
+  (resunet.py:31,51-57) pack into the fused kernel's column blocks in
+  lass_tpu.models.film spec order.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+Array = np.ndarray
+StateDict = Dict[str, Array]
+
+
+def _t(w: Array) -> Array:
+    return np.ascontiguousarray(w.T)
+
+
+def _conv(w: Array) -> Array:
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _convT(w: Array) -> Array:
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _linear(sd: StateDict, prefix: str) -> Dict[str, Array]:
+    out = {"kernel": _t(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _bn(sd: StateDict, prefix: str) -> Tuple[Dict, Dict]:
+    params = {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+    stats = {"mean": sd[f"{prefix}.running_mean"],
+             "var": sd[f"{prefix}.running_var"]}
+    return params, stats
+
+
+def _conv_layer(sd: StateDict, prefix: str) -> Dict[str, Array]:
+    out = {"kernel": _conv(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _conv_block(sd: StateDict, prefix: str) -> Tuple[Dict, Dict]:
+    p_bn1, s_bn1 = _bn(sd, f"{prefix}.bn1")
+    p_bn2, s_bn2 = _bn(sd, f"{prefix}.bn2")
+    params = {
+        "bn1": p_bn1, "bn2": p_bn2,
+        "conv1": _conv_layer(sd, f"{prefix}.conv1"),
+        "conv2": _conv_layer(sd, f"{prefix}.conv2"),
+    }
+    if f"{prefix}.shortcut.weight" in sd:
+        params["shortcut"] = _conv_layer(sd, f"{prefix}.shortcut")
+    return params, {"bn1": s_bn1, "bn2": s_bn2}
+
+
+def strip_prefix(sd: StateDict, prefix: str) -> StateDict:
+    out = {}
+    for k, v in sd.items():
+        if k.startswith(prefix):
+            out[k[len(prefix):]] = v
+    return out
+
+
+def to_numpy_state_dict(sd) -> StateDict:
+    """Accept torch tensors or numpy arrays."""
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+# --------------------------------------------------------------------------
+# ResUNet30 (reference AudioSep checkpoint, ss_model.* keys)
+# --------------------------------------------------------------------------
+
+_ENCODERS = ["encoder_block1", "encoder_block2", "encoder_block3",
+             "encoder_block4", "encoder_block5", "encoder_block6",
+             "conv_block7a"]
+_DECODERS = ["decoder_block1", "decoder_block2", "decoder_block3",
+             "decoder_block4", "decoder_block5", "decoder_block6"]
+
+
+def convert_resunet30(sd: StateDict, film_spec) -> Dict[str, Any]:
+    """ss_model state dict -> {'params': ..., 'batch_stats': ...} for
+    lass_tpu.models.resunet.ResUNet30. ``film_spec`` is
+    resunet30_film_spec(). Ignores the frozen stft/istft DFT conv weights
+    (we synthesize exact bases instead)."""
+    sd = to_numpy_state_dict(sd)
+    if any(k.startswith("ss_model.") for k in sd):
+        sd = strip_prefix(sd, "ss_model.")
+
+    params: Dict[str, Any] = {"base": {}}
+    stats: Dict[str, Any] = {"base": {}}
+
+    p_bn0, s_bn0 = _bn(sd, "base.bn0")
+    params["bn0"], stats["bn0"] = p_bn0, s_bn0
+    params["base"]["pre_conv"] = _conv_layer(sd, "base.pre_conv")
+    params["base"]["after_conv"] = _conv_layer(sd, "base.after_conv")
+
+    for name in _ENCODERS:
+        p, s = _conv_block(sd, f"base.{name}.conv_block1")
+        params["base"][name] = {"conv_block1": p}
+        stats["base"][name] = {"conv_block1": s}
+    for name in _DECODERS:
+        p_bn1, s_bn1 = _bn(sd, f"base.{name}.bn1")
+        p_cb, s_cb = _conv_block(sd, f"base.{name}.conv_block2")
+        params["base"][name] = {
+            "bn1": p_bn1,
+            "conv1": {"kernel": _convT(sd[f"base.{name}.conv1.weight"])},
+            "conv_block2": p_cb,
+        }
+        stats["base"][name] = {"bn1": s_bn1, "conv_block2": s_cb}
+
+    # FiLM: pack per-path Linears into the fused kernel
+    cond = sd["film.encoder_block1->conv_block1->beta1.weight"].shape[1]
+    total = sum(f for _, f, _ in film_spec)
+    kernel = np.zeros((cond, total), np.float32)
+    bias = np.zeros((total,), np.float32)
+    offset = 0
+    for path, feat, _used in film_spec:
+        key = "film." + "->".join(path)
+        kernel[:, offset:offset + feat] = _t(sd[f"{key}.weight"])
+        bias[offset:offset + feat] = sd[f"{key}.bias"]
+        offset += feat
+    params["film"] = {"kernel": kernel, "bias": bias}
+
+    return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------------
+# RoBERTa / CLAP text branch
+# --------------------------------------------------------------------------
+
+def convert_hf_roberta_state(sd: StateDict, num_layers: int
+                             ) -> Dict[str, Any]:
+    """HF RobertaModel state dict -> lass_tpu RobertaModel params (fused
+    QKV)."""
+    sd = to_numpy_state_dict(sd)
+    params: Dict[str, Any] = {
+        "word_embeddings": {
+            "embedding": sd["embeddings.word_embeddings.weight"]},
+        "position_embeddings": {
+            "embedding": sd["embeddings.position_embeddings.weight"]},
+        "token_type_embeddings": {
+            "embedding": sd["embeddings.token_type_embeddings.weight"]},
+        "embeddings_ln": {"scale": sd["embeddings.LayerNorm.weight"],
+                          "bias": sd["embeddings.LayerNorm.bias"]},
+        "pooler": _linear(sd, "pooler.dense"),
+    }
+    for i in range(num_layers):
+        e = f"encoder.layer.{i}"
+        qkv_w = np.concatenate([sd[f"{e}.attention.self.query.weight"],
+                                sd[f"{e}.attention.self.key.weight"],
+                                sd[f"{e}.attention.self.value.weight"]], 0)
+        qkv_b = np.concatenate([sd[f"{e}.attention.self.query.bias"],
+                                sd[f"{e}.attention.self.key.bias"],
+                                sd[f"{e}.attention.self.value.bias"]], 0)
+        params[f"layer_{i}"] = {
+            "attention": {
+                "qkv": {"kernel": _t(qkv_w), "bias": qkv_b},
+                "out": _linear(sd, f"{e}.attention.output.dense"),
+            },
+            "attention_ln": {
+                "scale": sd[f"{e}.attention.output.LayerNorm.weight"],
+                "bias": sd[f"{e}.attention.output.LayerNorm.bias"]},
+            "intermediate": _linear(sd, f"{e}.intermediate.dense"),
+            "output": _linear(sd, f"{e}.output.dense"),
+            "output_ln": {"scale": sd[f"{e}.output.LayerNorm.weight"],
+                          "bias": sd[f"{e}.output.LayerNorm.bias"]},
+        }
+    return params
+
+
+def convert_clap_text_encoder(sd: StateDict, num_layers: int = 12
+                              ) -> Dict[str, Any]:
+    """CLAP checkpoint -> CLAPTextEncoder params: roberta text_branch +
+    2-layer text_projection MLP (open_clip/model.py:517-531)."""
+    sd = to_numpy_state_dict(sd)
+    if any(k.startswith("module.") for k in sd):
+        sd = strip_prefix(sd, "module.")
+    roberta_sd = strip_prefix(sd, "text_branch.")
+    return {
+        "roberta": convert_hf_roberta_state(roberta_sd, num_layers),
+        "text_projection": {
+            "fc1": _linear(sd, "text_projection.0"),
+            "fc2": _linear(sd, "text_projection.2"),
+        },
+    }

@@ -1,0 +1,146 @@
+"""DCASE 2024 Task 9 synthetic-validation evaluator.
+
+Behavioral spec: reference dcase_evaluator.py:27-122 — CSV rows
+(source, noise, snr, caption), 16 kHz mono loading, SNR-scaled mixture with
+declip-at-0.9 (applied to BOTH source and mixture, :85-89 — this affects
+SDR and is replicated exactly), text-only query embedding, full-clip
+separation, SDR/SDRi/SI-SDR means.
+
+TPU-first difference: the reference runs batch=1 sequential forwards
+(SURVEY.md hot loop #5); here rows are batched through one jitted forward
+with static shapes (clips padded to the eval length and trimmed after),
+and captions are batch-embedded.
+"""
+from __future__ import annotations
+
+import csv
+import os
+from typing import Callable, Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from lass_tpu.audio.io import read_wav
+from lass_tpu.audio.resample import resample_np
+from lass_tpu.evaluation.metrics import calculate_sdr, calculate_sisdr
+
+
+def load_mono(path: str, sampling_rate: int) -> np.ndarray:
+    audio, rate = read_wav(path)
+    mono = audio.mean(axis=0) if audio.shape[0] > 1 else audio[0]
+    if rate != sampling_rate:
+        mono = resample_np(mono, rate, sampling_rate)
+    return mono.astype(np.float32)
+
+
+def make_snr_mixture(source: np.ndarray, noise: np.ndarray, snr_db: float
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """SNR-scaled mixture + declip; returns (possibly rescaled) source and
+    mixture (reference dcase_evaluator.py:76-89)."""
+    n = min(len(source), len(noise))
+    source, noise = source[:n].copy(), noise[:n].copy()
+    source_power = np.mean(source ** 2)
+    noise_power = np.mean(noise ** 2)
+    desired = source_power / (10 ** (snr_db / 10))
+    noise = noise * np.sqrt(desired / max(noise_power, 1e-20))
+    mixture = source + noise
+    peak = np.max(np.abs(mixture))
+    if peak > 1:
+        source *= 0.9 / peak
+        mixture *= 0.9 / peak
+    return source, mixture
+
+
+class DCASEEvaluator:
+    def __init__(self, sampling_rate: int = 16000,
+                 eval_indexes: str = "lass_synthetic_validation.csv",
+                 audio_dir: str = "lass_validation",
+                 batch_size: int = 16):
+        self.sampling_rate = sampling_rate
+        with open(eval_indexes) as f:
+            rows = list(csv.reader(f))[1:]
+        self.eval_list = rows
+        self.audio_dir = audio_dir
+        self.batch_size = batch_size
+
+    def __call__(self, pl_model) -> Tuple[float, float, float]:
+        """pl_model: object with .query_encoder.get_query_embed and
+        .separate(mixtures (B,1,L)) -> (B,1,L) (see SeparationInference).
+        Returns (mean_SISDR, mean_SDRi, mean_SDR) — reference ordering."""
+        sisdrs: List[float] = []
+        sdris: List[float] = []
+        sdrs: List[float] = []
+
+        for start in range(0, len(self.eval_list), self.batch_size):
+            rows = self.eval_list[start:start + self.batch_size]
+            sources, mixtures, captions = [], [], []
+            for source_name, noise_name, snr, caption in rows:
+                src = load_mono(os.path.join(self.audio_dir,
+                                             f"{source_name}.wav"),
+                                self.sampling_rate)
+                noi = load_mono(os.path.join(self.audio_dir,
+                                             f"{noise_name}.wav"),
+                                self.sampling_rate)
+                src, mix = make_snr_mixture(src, noi, int(snr))
+                sources.append(src)
+                mixtures.append(mix)
+                captions.append(caption)
+
+            lengths = [len(m) for m in mixtures]
+            max_len = max(lengths)
+            batch = np.zeros((len(rows), 1, max_len), np.float32)
+            for i, m in enumerate(mixtures):
+                batch[i, 0, :len(m)] = m
+
+            conditions = pl_model.query_encoder.get_query_embed(
+                modality="text", text=captions)
+            separated = np.asarray(
+                pl_model.separate(batch, np.asarray(conditions)))
+
+            for i, (src, mix) in enumerate(zip(sources, mixtures)):
+                est = separated[i, 0, :lengths[i]]
+                sdr_no_sep = calculate_sdr(ref=src, est=mix)
+                sdr = calculate_sdr(ref=src, est=est)
+                sdrs.append(sdr)
+                sdris.append(sdr - sdr_no_sep)
+                sisdrs.append(calculate_sisdr(ref=src, est=est))
+
+        return (float(np.mean(sisdrs)), float(np.mean(sdris)),
+                float(np.mean(sdrs)))
+
+
+class SeparationInference:
+    """Batched jitted inference wrapper binding a separator + query encoder
+    (the evaluator-facing analog of the reference's loaded AudioSep)."""
+
+    def __init__(self, model, variables, query_encoder,
+                 pad_multiple: int = 160):
+        import jax
+        import jax.numpy as jnp
+
+        self.model = model
+        self.variables = variables
+        self.query_encoder = query_encoder
+        self.pad_multiple = pad_multiple
+
+        @jax.jit
+        def forward(mixture, condition):
+            return model.apply(
+                variables, {"mixture": mixture, "condition": condition},
+                train=False)["waveform"]
+
+        self._forward = forward
+        self._jnp = jnp
+
+    def separate(self, mixtures: np.ndarray, conditions: np.ndarray
+                 ) -> np.ndarray:
+        """(B, 1, L) float32 -> (B, 1, L). Pads L to a hop multiple to keep
+        jit shape variants few."""
+        jnp = self._jnp
+        b, c, length = mixtures.shape
+        m = self.pad_multiple
+        padded = -(-length // m) * m
+        if padded != length:
+            mixtures = np.pad(mixtures, ((0, 0), (0, 0),
+                                         (0, padded - length)))
+        out = self._forward(jnp.asarray(mixtures), jnp.asarray(conditions))
+        return np.asarray(out)[..., :length]

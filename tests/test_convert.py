@@ -1,0 +1,153 @@
+"""Converter tests: synthetic reference-style torch state dicts -> lass_tpu
+pytrees (key mapping, film packing, shape validation)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lass_tpu.convert.torch_to_jax import (
+    convert_clap_text_encoder, convert_resunet30)
+from lass_tpu.models.film import resunet30_film_spec
+from lass_tpu.models.resunet import ResUNet30
+
+
+def synth_resunet_state_dict(rng):
+    """Reference AudioSep checkpoint key set (module tree of
+    resunet.py:267-429 + FiLM '->'-mangled Linears :31,51-57)."""
+    sd = {}
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = rng.randn(c).astype(np.float32)
+        sd[f"{prefix}.bias"] = rng.randn(c).astype(np.float32)
+        sd[f"{prefix}.running_mean"] = rng.randn(c).astype(np.float32)
+        sd[f"{prefix}.running_var"] = (rng.rand(c) + 0.5).astype(np.float32)
+
+    def conv(prefix, o, i, k=3, bias=False):
+        sd[f"{prefix}.weight"] = (rng.randn(o, i, k, k) * 0.05
+                                  ).astype(np.float32)
+        if bias:
+            sd[f"{prefix}.bias"] = rng.randn(o).astype(np.float32)
+
+    def block(prefix, cin, cout):
+        bn(f"{prefix}.bn1", cin)
+        bn(f"{prefix}.bn2", cout)
+        conv(f"{prefix}.conv1", cout, cin)
+        conv(f"{prefix}.conv2", cout, cout)
+        if cin != cout:
+            conv(f"{prefix}.shortcut", cout, cin, k=1, bias=True)
+
+    enc = [("encoder_block1", 32, 32), ("encoder_block2", 32, 64),
+           ("encoder_block3", 64, 128), ("encoder_block4", 128, 256),
+           ("encoder_block5", 256, 384), ("encoder_block6", 384, 384),
+           ("conv_block7a", 384, 384)]
+    dec = [("decoder_block1", 384, 384), ("decoder_block2", 384, 384),
+           ("decoder_block3", 384, 256), ("decoder_block4", 256, 128),
+           ("decoder_block5", 128, 64), ("decoder_block6", 64, 32)]
+
+    bn("ss_model.base.bn0", 513)
+    conv("ss_model.base.pre_conv", 32, 1, k=1, bias=True)
+    conv("ss_model.base.after_conv", 3, 32, k=1, bias=True)
+    for name, cin, cout in enc:
+        block(f"ss_model.base.{name}.conv_block1", cin, cout)
+    for name, cin, cout in dec:
+        bn(f"ss_model.base.{name}.bn1", cin)
+        bn(f"ss_model.base.{name}.bn2", cin)  # dead in reference forward
+        kh, kw = (1, 2) if name == "decoder_block1" else (2, 2)
+        sd[f"ss_model.base.{name}.conv1.weight"] = (
+            rng.randn(cin, cout, kh, kw) * 0.05).astype(np.float32)
+        block(f"ss_model.base.{name}.conv_block2", cout * 2, cout)
+
+    for path, feat, _used in resunet30_film_spec():
+        key = "ss_model.film." + "->".join(path)
+        sd[f"{key}.weight"] = (rng.randn(feat, 512) * 0.02).astype(np.float32)
+        sd[f"{key}.bias"] = rng.randn(feat).astype(np.float32)
+    return sd
+
+
+@pytest.fixture(scope="module")
+def converted(rng=np.random.RandomState(0)):
+    sd = synth_resunet_state_dict(rng)
+    return sd, convert_resunet30(sd, resunet30_film_spec())
+
+
+def test_resunet_conversion_applies(converted):
+    sd, variables = converted
+    model = ResUNet30()
+    x = {
+        "mixture": jnp.asarray(
+            np.random.RandomState(1).randn(1, 1, 16000).astype(np.float32)
+            * 0.1),
+        "condition": jnp.asarray(
+            np.random.RandomState(2).randn(1, 512).astype(np.float32)),
+    }
+    # structure must match the model's own init exactly
+    template = model.init(jax.random.PRNGKey(0), x, train=False)
+    t_paths = set(jax.tree_util.keystr(p) for p, _ in
+                  jax.tree_util.tree_flatten_with_path(
+                      template["params"])[0])
+    c_paths = set(jax.tree_util.keystr(p) for p, _ in
+                  jax.tree_util.tree_flatten_with_path(
+                      variables["params"])[0])
+    assert t_paths == c_paths
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(template["params"])[0],
+            jax.tree_util.tree_flatten_with_path(variables["params"])[0]):
+        assert a.shape == np.asarray(b).shape, (p1, a.shape, b.shape)
+
+    out = model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, variables["params"]),
+         "batch_stats": jax.tree_util.tree_map(
+             jnp.asarray, variables["batch_stats"])},
+        x, train=False)
+    assert np.isfinite(np.asarray(out["waveform"])).all()
+
+
+def test_film_packing_order(converted):
+    """A specific reference FiLM Linear must land at its spec offset."""
+    sd, variables = converted
+    spec = resunet30_film_spec()
+    offset = 0
+    for path, feat, _ in spec:
+        if path == ("encoder_block3", "conv_block1", "beta2"):
+            key = "ss_model.film." + "->".join(path)
+            np.testing.assert_array_equal(
+                variables["params"]["film"]["kernel"][:, offset:offset + feat],
+                sd[f"{key}.weight"].T)
+            np.testing.assert_array_equal(
+                variables["params"]["film"]["bias"][offset:offset + feat],
+                sd[f"{key}.bias"])
+            return
+        offset += feat
+    raise AssertionError("spec entry not found")
+
+
+def test_clap_text_conversion():
+    import torch
+    from transformers import RobertaConfig as HFConfig
+    from transformers import RobertaModel as HFModel
+
+    torch.manual_seed(0)
+    hf = HFModel(HFConfig(vocab_size=50, hidden_size=16, num_hidden_layers=1,
+                          num_attention_heads=2, intermediate_size=32,
+                          max_position_embeddings=20, type_vocab_size=1,
+                          pad_token_id=1))
+    sd = {"text_branch." + k: v for k, v in hf.state_dict().items()}
+    sd["text_projection.0.weight"] = torch.randn(512, 16)
+    sd["text_projection.0.bias"] = torch.randn(512)
+    sd["text_projection.2.weight"] = torch.randn(512, 512)
+    sd["text_projection.2.bias"] = torch.randn(512)
+
+    params = convert_clap_text_encoder(sd, num_layers=1)
+    from lass_tpu.models.clap.model import CLAPTextEncoder
+    from lass_tpu.models.clap.roberta import RobertaConfig
+
+    enc = CLAPTextEncoder(RobertaConfig(
+        vocab_size=50, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=20))
+    ids = jnp.asarray([[0, 5, 6, 2]], jnp.int32)
+    out = enc.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        ids, jnp.ones_like(ids))
+    assert out.shape == (1, 512)
+    np.testing.assert_allclose(float(jnp.linalg.norm(out)), 1.0, atol=1e-5)
