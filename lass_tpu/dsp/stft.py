@@ -218,6 +218,26 @@ def spectrogram_phase(
     return mag, real / mag, imag / mag
 
 
+def multi_resolution_spectrogram_phase(
+    x: jax.Array,
+    win_lengths,
+    hop_length: int = 160,
+    eps: float = 1e-10,
+):
+    """(B, C, L) -> {win: (mag, cos, sin) each (B, T, F_win, C)}.
+
+    All windows share the hop, so frame counts are identical (center
+    padding is n_fft//2 per window). This is the per-window STFT bank of the
+    precompute pipeline (reference scripts/precompute_stfts.py:19-58) and
+    the multi-resolution model input.
+    """
+    return {
+        int(w): wav_to_spectrogram_phase(
+            x, STFTConfig(n_fft=int(w), hop_length=hop_length), eps)
+        for w in win_lengths
+    }
+
+
 def wav_to_spectrogram_phase(
     x: jax.Array,
     cfg: STFTConfig = STFTConfig(),
