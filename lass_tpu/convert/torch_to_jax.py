@@ -193,6 +193,68 @@ def convert_hf_roberta_state(sd: StateDict, num_layers: int
     return params
 
 
+def convert_htsat(sd: StateDict, depths=(2, 2, 12, 2)) -> Dict[str, Any]:
+    """HTSAT state dict (audio_branch.* stripped) -> lass_tpu HTSAT params
+    + batch_stats. Skips the front-end torchlibrosa conv weights (we
+    synthesize exact DFT/mel bases) and the unused classification `head`
+    Linear (the embedding path never touches it, htsat.py:1040-1060)."""
+    sd = to_numpy_state_dict(sd)
+    p_bn0, s_bn0 = _bn(sd, "bn0")
+    params: Dict[str, Any] = {
+        "bn0": p_bn0,
+        "patch_embed_proj": _conv_layer(sd, "patch_embed.proj"),
+        "patch_embed_norm": {"scale": sd["patch_embed.norm.weight"],
+                             "bias": sd["patch_embed.norm.bias"]},
+        "norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]},
+        "tscam_conv": _conv_layer(sd, "tscam_conv"),
+    }
+    stats: Dict[str, Any] = {"bn0": s_bn0}
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            b = f"layers.{i}.blocks.{j}"
+            params[f"layers_{i}_blocks_{j}"] = {
+                "norm1": {"scale": sd[f"{b}.norm1.weight"],
+                          "bias": sd[f"{b}.norm1.bias"]},
+                "norm2": {"scale": sd[f"{b}.norm2.weight"],
+                          "bias": sd[f"{b}.norm2.bias"]},
+                "attn": {
+                    "qkv": _linear(sd, f"{b}.attn.qkv"),
+                    "proj": _linear(sd, f"{b}.attn.proj"),
+                    "relative_position_bias_table":
+                        sd[f"{b}.attn.relative_position_bias_table"],
+                },
+                "mlp_fc1": _linear(sd, f"{b}.mlp.fc1"),
+                "mlp_fc2": _linear(sd, f"{b}.mlp.fc2"),
+            }
+        if i < len(depths) - 1:
+            d = f"layers.{i}.downsample"
+            params[f"layers_{i}_downsample"] = {
+                "norm": {"scale": sd[f"{d}.norm.weight"],
+                         "bias": sd[f"{d}.norm.bias"]},
+                "reduction": {"kernel": _t(sd[f"{d}.reduction.weight"])},
+            }
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_clap_audio_encoder(sd: StateDict, depths=(2, 2, 12, 2)
+                               ) -> Dict[str, Any]:
+    """CLAP checkpoint -> CLAPAudioEncoder variables (HTSAT audio_branch +
+    audio_projection MLP, open_clip/model.py:565-570, 754-781)."""
+    sd = to_numpy_state_dict(sd)
+    if any(k.startswith("module.") for k in sd):
+        sd = strip_prefix(sd, "module.")
+    htsat = convert_htsat(strip_prefix(sd, "audio_branch."), depths)
+    params = {
+        "audio_branch": htsat["params"],
+        "audio_projection": {
+            "fc1": _linear(sd, "audio_projection.0"),
+            "fc2": _linear(sd, "audio_projection.2"),
+        },
+    }
+    return {"params": params,
+            "batch_stats": {"audio_branch": htsat["batch_stats"]}}
+
+
 def convert_clap_text_encoder(sd: StateDict, num_layers: int = 12
                               ) -> Dict[str, Any]:
     """CLAP checkpoint -> CLAPTextEncoder params: roberta text_branch +

@@ -50,6 +50,27 @@ class CLAPTextEncoder(nn.Module):
         return proj / jnp.maximum(norm, 1e-12)
 
 
+class CLAPAudioEncoder(nn.Module):
+    """48 kHz waveform (B, L) -> normalized 512-d joint embedding:
+    HTSAT 'embedding' + audio_projection MLP + normalize
+    (model.py:754-781 get_audio_embedding over the HTSAT branch)."""
+
+    htsat_cfg: Any = None  # HTSATConfig; None -> base
+    joint_embed_dim: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, waveform: jax.Array, train: bool = False) -> jax.Array:
+        from lass_tpu.models.clap.htsat import HTSAT, HTSATConfig
+
+        cfg = self.htsat_cfg or HTSATConfig()
+        out = HTSAT(cfg, self.dtype, name="audio_branch")(waveform, train)
+        proj = MLPProjection(self.joint_embed_dim, self.dtype,
+                             name="audio_projection")(out["embedding"])
+        norm = jnp.linalg.norm(proj, axis=-1, keepdims=True)
+        return proj / jnp.maximum(norm, 1e-12)
+
+
 class CLAPAudioProjection(nn.Module):
     """HTSAT embedding -> normalized 512-d joint embedding
     (model.py:754-781 get_audio_embedding)."""

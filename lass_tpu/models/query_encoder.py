@@ -75,8 +75,45 @@ class CLAPQueryEncoder:
         if self.audio_embed_fn is None:
             raise NotImplementedError(
                 "audio query path requires the HTSAT encoder "
-                "(pass audio_embed_fn)")
+                "(pass audio_embed_fn or use attach_audio_encoder)")
         return self.audio_embed_fn(audio)
+
+    def attach_audio_encoder(self, audio_params: Optional[Any] = None,
+                             htsat_cfg: Optional[Any] = None,
+                             sampling_rate: int = 32000,
+                             clip_samples: int = 480000) -> None:
+        """Wire the CLAP audio branch (HTSAT + audio_projection): (B, L) at
+        ``sampling_rate`` -> resample to 48 kHz on device
+        (clap_encoder.py:59-61) -> repeatpad/crop to clip_samples
+        (training/data.py:451-563) -> normalized (B, 512).
+
+        Embeds the WHOLE batch (the reference embeds only item 0 due to its
+        return-inside-loop bug, clap_encoder.py:74-76)."""
+        import numpy as np
+
+        from lass_tpu.audio.resample import resample
+        from lass_tpu.models.clap.audio_features import prepare_audio_batch
+        from lass_tpu.models.clap.model import CLAPAudioEncoder
+
+        encoder = CLAPAudioEncoder(htsat_cfg=htsat_cfg)
+        if audio_params is None:
+            dummy = jnp.zeros((1, clip_samples))
+            audio_params = encoder.init(jax.random.PRNGKey(0), dummy)
+
+        @jax.jit
+        def embed(variables, wave48):
+            return encoder.apply(variables, wave48)
+
+        def audio_embed_fn(audio):
+            wave = np.asarray(audio, np.float32)
+            if wave.ndim == 3:  # (B, 1, L)
+                wave = wave[:, 0]
+            wave48 = np.asarray(resample(jnp.asarray(wave), sampling_rate,
+                                         48000))
+            wave48 = prepare_audio_batch(wave48, clip_samples)
+            return embed(audio_params, jnp.asarray(wave48))
+
+        self.audio_embed_fn = audio_embed_fn
 
     # -- reference API ----------------------------------------------------
     def get_query_embed(self, modality: str,
