@@ -90,6 +90,20 @@ def load_inference_variables(model, checkpoint_path: str,
                 jnp.asarray, converted["batch_stats"])}
 
 
+def load_npz_variables(path: str) -> Dict[str, Any]:
+    """Load an npz parameter pack written by scripts/convert_checkpoint.py
+    back into nested dicts keyed by the '/'-joined paths."""
+    out: Dict[str, Any] = {}
+    with np.load(path, allow_pickle=False) as z:
+        for key in z.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key]
+    return out
+
+
 def _check(expected, got):
     if tuple(expected.shape) != tuple(np.asarray(got).shape):
         raise ValueError(

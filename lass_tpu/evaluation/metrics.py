@@ -31,6 +31,43 @@ def calculate_sisdr(ref: np.ndarray, est: np.ndarray) -> float:
     return float(10 * np.log10((eps + sss) / (eps + snn)))
 
 
+def get_mean_sdr_from_dict(sdris_dict) -> float:
+    """reference utils.py:228-230."""
+    return float(np.nanmean(list(sdris_dict.values())))
+
+
+def calculate_segmentwise_sdr(ref: np.ndarray, est: np.ndarray,
+                              hop_samples: int,
+                              return_sdr_list: bool = False):
+    """Median of per-segment SDRs (reference utils.py:273-290)."""
+    min_len = min(ref.shape[-1], est.shape[-1])
+    sdrs = []
+    pointer = 0
+    while pointer + hop_samples < min_len:
+        sdrs.append(calculate_sdr(ref[..., pointer:pointer + hop_samples],
+                                  est[..., pointer:pointer + hop_samples]))
+        pointer += hop_samples
+    sdr = float(np.nanmedian(sdrs))
+    return (sdr, sdrs) if return_sdr_list else sdr
+
+
+def remove_silence(audio: np.ndarray, sample_rate: int,
+                   threshold: float = 0.02) -> np.ndarray:
+    """Drop 100 ms frames whose peak is below threshold
+    (reference utils.py:233-263)."""
+    window = int(sample_rate * 0.1)
+    n = (len(audio) // window) * window
+    frames = audio[:n].reshape(-1, window)
+    active = np.max(np.abs(frames), axis=-1) > threshold
+    return frames[active].flatten()
+
+
+def repeat_to_length(audio: np.ndarray, segment_samples: int) -> np.ndarray:
+    """Tile audio up to a target length (reference utils.py:265-271)."""
+    repeats = segment_samples // audio.shape[-1] + 1
+    return np.tile(audio, repeats)[:segment_samples]
+
+
 def batch_sdr(ref: jax.Array, est: jax.Array, eps: float = 1e-10) -> jax.Array:
     """(B, L) -> (B,) SDR on device."""
     noise = est - ref

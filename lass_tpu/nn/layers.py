@@ -51,6 +51,7 @@ class BatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
         if train:
+            # statistics in f32 (reductions are cheap; accuracy matters)
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=reduction_axes)
             mean2 = jnp.mean(jnp.square(xf), axis=reduction_axes)
@@ -64,10 +65,14 @@ class BatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
+        # fold into scale/shift in f32, then apply in the ACTIVATION dtype:
+        # avoids materializing f32 copies of large bf16 activations (the
+        # per-feature constants stay f32-accurate).
         inv = jax.lax.rsqrt(var + self.eps) * scale.astype(jnp.float32)
-        y = (x.astype(jnp.float32) - mean.reshape(shape)) * inv.reshape(shape)
-        y = y + bias.astype(jnp.float32).reshape(shape)
-        return y.astype(x.dtype)
+        shift = bias.astype(jnp.float32) - mean * inv
+        y = x * inv.reshape(shape).astype(x.dtype) \
+            + shift.reshape(shape).astype(x.dtype)
+        return y
 
 
 def conv2d(

@@ -1,0 +1,251 @@
+"""Frequency-folding (space-to-depth) execution of low-channel conv levels.
+
+Why: on TPU, NHWC activations are tiled (8|16, 128) over the last two dims,
+so levels with 32-64 channels at the largest spectrogram resolutions pad the
+lane dimension 4x/2x — XLA's cost model showed 83 GB of HBM traffic per
+16-clip ResUNet30 forward (vs ~20 GB unpadded), making the model
+memory-bound. Folding s frequency bins into channels makes the channel dim
+128 and removes ALL padding, with mathematically identical results:
+
+    x'(b, t, g, r*C + c) = x(b, t, s*g + r, c)     (a free reshape)
+
+- 3x3/1x1 convs become folded convs whose (kh, kw', s*Cin, s*Cout) kernels
+  are built from the logical (kh, kw, Cin, Cout) parameters by a fixed
+  sparse embedding (derived below); FLOPs grow s-fold but run at full MXU
+  lane utilization, while HBM bytes drop s-fold — the right trade on TPU.
+- BatchNorm/FiLM/leaky-relu run on a (B, T, G, s, C) view, so parameters,
+  statistics, and results are bit-identical to the unfolded form.
+- 2x2 avg-pool halves T normally and averages fold-neighbor pairs, leaving
+  a fold-s/2 layout.
+- the kernel==stride transposed conv becomes one matmul + depth-to-space.
+
+Derivation for the folded conv: with f = s*g + r and SAME padding,
+y(t, s*g + r_o) = sum_df W[df] x(t, s*g + r_o + df); writing
+s*g + r_o + df = s*(g + D) + r_i gives df = s*D + r_i - r_o, so the folded
+kernel entry (D, r_i -> r_o) is W[s*D + r_i - r_o] when that offset lies
+within the logical kernel width, else zero. Parameter trees are UNCHANGED —
+folding happens at apply time — so checkpoints/converters are oblivious.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lass_tpu.nn.layers import BatchNorm, leaky_relu, xavier_uniform
+
+
+def fold_freq(x: jax.Array, s: int) -> jax.Array:
+    """(B, T, F, C) -> (B, T, F//s, s*C); pure reshape (free)."""
+    b, t, f, c = x.shape
+    return x.reshape(b, t, f // s, s * c)
+
+
+def unfold_freq(x: jax.Array, s: int) -> jax.Array:
+    """(B, T, G, s*C) -> (B, T, s*G, C); pure reshape (free)."""
+    b, t, g, sc = x.shape
+    return x.reshape(b, t, g * s, sc // s)
+
+
+def fold_conv_kernel(w: jax.Array, s: int,
+                     in_groups: Optional[Sequence[int]] = None) -> jax.Array:
+    """(kh, kw, Cin, Cout) logical -> (kh, kw', s*Cin, s*Cout) folded.
+
+    in_groups: when the folded input is a CONCAT of separately-folded
+    tensors (decoder skip concat), the channel splits of Cin.
+    """
+    kh, kw, cin, cout = w.shape
+    half = kw // 2
+    in_groups = list(in_groups) if in_groups else [cin]
+    offsets = np.cumsum([0] + in_groups)
+    out = jnp.zeros((kh, kw, s * cin, s * cout), w.dtype)
+    for d in range(-half, half + 1):
+        for r_i in range(s):
+            for r_o in range(s):
+                df = s * d + r_i - r_o
+                if -half <= df <= half:
+                    ws = w[:, df + half]  # (kh, Cin, Cout)
+                    for gi, cg in enumerate(in_groups):
+                        i0 = int(offsets[gi])
+                        base = s * i0 + r_i * cg
+                        out = out.at[
+                            :, d + half, base:base + cg,
+                            r_o * cout:(r_o + 1) * cout,
+                        ].set(ws[:, i0:i0 + cg, :])
+    return out
+
+
+def folded_conv(x: jax.Array, w: jax.Array, s: int,
+                bias: Optional[jax.Array] = None,
+                in_groups: Optional[Sequence[int]] = None) -> jax.Array:
+    """Apply a logical conv on a folded tensor. x: (B, T, G, s*Cin)."""
+    kernel = fold_conv_kernel(w, s, in_groups).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        cout = w.shape[-1]
+        y = y + jnp.tile(bias, s).astype(y.dtype)
+    return y
+
+
+def folded_avg_pool_2x2(x: jax.Array, s: int) -> jax.Array:
+    """2x2 avg pool on a fold-s tensor -> fold-s//2 tensor at (T/2, G)."""
+    b, t, g, sc = x.shape
+    c = sc // s
+    x = x.reshape(b, t // 2, 2, g, s // 2, 2, c).mean(axis=(2, 5))
+    return x.reshape(b, t // 2, g, (s // 2) * c)
+
+
+def folded_convT_2x2(x: jax.Array, w: jax.Array, s_in: int) -> jax.Array:
+    """kernel==stride (2,2) transposed conv on a fold-s_in tensor ->
+    fold-2*s_in tensor at (2T, G). w: (2, 2, Cout, Cin) (the
+    conv_transpose2d param layout)."""
+    _, _, cout, cin = w.shape
+    s_out = 2 * s_in
+    m = jnp.zeros((s_in * cin, 2, s_out * cout), w.dtype)
+    for i in range(2):
+        for j in range(2):
+            for r_i in range(s_in):
+                r_o = 2 * r_i + j
+                m = m.at[r_i * cin:(r_i + 1) * cin, i,
+                         r_o * cout:(r_o + 1) * cout].set(
+                    jnp.swapaxes(w[i, j], 0, 1))
+    y = jnp.einsum("btgu,uio->btigo", x, m.astype(x.dtype))
+    b, t2, _, g, uo = y.shape
+    return y.reshape(b, 2 * t2, g, uo)
+
+
+class ConvParams(nn.Module):
+    """Parameter-only conv (same param tree as nn.Conv: kernel [+ bias])."""
+
+    shape: Tuple[int, int, int, int]  # (kh, kw, Cin, Cout)
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", xavier_uniform(), self.shape)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.shape[-1],)) if self.use_bias else None
+        return kernel, bias
+
+
+def folded_bn_film_act(x: jax.Array, s: int, c: int, bn: BatchNorm,
+                       beta: jax.Array, train: bool,
+                       in_groups: Optional[Sequence[int]] = None
+                       ) -> jax.Array:
+    """BN + FiLM beta + leaky-relu on the (B,T,G,s,C) view — statistics and
+    math identical to the unfolded form. When the input is a concat of
+    separately-folded groups, each group is viewed 5D first so the feature
+    axis is in logical channel order; the result comes back PLAIN-folded
+    (u = r*C + c), so downstream convs use the plain folded kernel."""
+    b, t, g, _ = x.shape
+    if in_groups:
+        parts = []
+        off = 0
+        for cg in in_groups:
+            parts.append(x[..., off:off + s * cg].reshape(b, t, g, s, cg))
+            off += s * cg
+        x5 = jnp.concatenate(parts, axis=-1)
+    else:
+        x5 = x.reshape(b, t, g, s, c)
+    h = bn(x5, train) + beta[:, None, None, None, :].astype(x.dtype)
+    return leaky_relu(h).reshape(b, t, g, s * c)
+
+
+class FoldedConvBlockRes(nn.Module):
+    """ConvBlockRes (nn/blocks.py) running on fold-s tensors; identical
+    param tree (bn1/bn2/conv1/conv2[/shortcut])."""
+
+    in_channels: int
+    out_channels: int
+    fold: int
+    in_groups: Optional[Tuple[int, ...]] = None
+    kernel_size: Tuple[int, int] = (3, 3)
+    momentum: float = 0.01
+
+    @nn.compact
+    def __call__(self, x: jax.Array, film, train: bool) -> jax.Array:
+        s = self.fold
+        groups = self.in_groups
+        h = folded_bn_film_act(
+            x, s, self.in_channels,
+            BatchNorm(self.in_channels, self.momentum, name="bn1"),
+            film["beta1"], train, in_groups=groups)
+        # folded_bn_film_act returns plain-folded layout regardless of groups
+        w1, _ = ConvParams((*self.kernel_size, self.in_channels,
+                            self.out_channels), name="conv1")()
+        h = folded_conv(h, w1, s)
+        h = folded_bn_film_act(
+            h, s, self.out_channels,
+            BatchNorm(self.out_channels, self.momentum, name="bn2"),
+            film["beta2"], train)
+        w2, _ = ConvParams((*self.kernel_size, self.out_channels,
+                            self.out_channels), name="conv2")()
+        h = folded_conv(h, w2, s)
+        if self.in_channels != self.out_channels:
+            ws, bs = ConvParams((1, 1, self.in_channels, self.out_channels),
+                                use_bias=True, name="shortcut")()
+            return folded_conv(x, ws, s, bias=bs, in_groups=groups) + h
+        return x + h
+
+
+class FoldedEncoderBlockRes1B(nn.Module):
+    """EncoderBlockRes1B on fold-s input with (2,2) pooling; returns
+    (pooled at fold s//2, skip at fold s)."""
+
+    in_channels: int
+    out_channels: int
+    fold: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    momentum: float = 0.01
+
+    @nn.compact
+    def __call__(self, x: jax.Array, film, train: bool):
+        encoded = FoldedConvBlockRes(
+            self.in_channels, self.out_channels, self.fold,
+            kernel_size=self.kernel_size, momentum=self.momentum,
+            name="conv_block1")(x, film["conv_block1"], train)
+        return folded_avg_pool_2x2(encoded, self.fold), encoded
+
+
+class FoldedDecoderBlockRes1B(nn.Module):
+    """DecoderBlockRes1B whose upsampled output + skip concat run folded.
+
+    Input x is UNFOLDED (B, T2, F2, in_channels); skip is fold-(2*fold_in)
+    of skip_channels. Identical param tree (bn1/conv1/conv_block2).
+    """
+
+    in_channels: int
+    out_channels: int
+    skip_channels: int
+    fold_in: int  # fold applied to the input before the transposed conv
+    input_is_folded: bool = False  # x already arrives at fold_in layout
+    kernel_size: Tuple[int, int] = (3, 3)
+    momentum: float = 0.01
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip_folded: jax.Array, film,
+                 train: bool) -> jax.Array:
+        bn1 = BatchNorm(self.in_channels, self.momentum, name="bn1")
+        if self.input_is_folded and self.fold_in > 1:
+            h = folded_bn_film_act(x, self.fold_in, self.in_channels, bn1,
+                                   film["beta1"], train)
+        else:
+            h = bn1(x, train) \
+                + film["beta1"][:, None, None, :].astype(x.dtype)
+            h = leaky_relu(h)
+            h = fold_freq(h, self.fold_in) if self.fold_in > 1 else h
+        wt, _ = ConvParams((2, 2, self.out_channels, self.in_channels),
+                           name="conv1")()
+        h = folded_convT_2x2(h, wt.astype(h.dtype), self.fold_in)
+        s_out = 2 * self.fold_in
+        h = jnp.concatenate([h, skip_folded.astype(h.dtype)], axis=-1)
+        return FoldedConvBlockRes(
+            self.out_channels + self.skip_channels, self.out_channels,
+            s_out, in_groups=(self.out_channels, self.skip_channels),
+            kernel_size=self.kernel_size, momentum=self.momentum,
+            name="conv_block2")(h, film["conv_block2"], train)

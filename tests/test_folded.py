@@ -1,0 +1,98 @@
+"""Frequency-folded execution must be mathematically identical to the
+reference-shaped execution with the SAME parameters."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lass_tpu.models.resunet import ResUNet30
+from lass_tpu.ops.folded import (
+    fold_freq, unfold_freq, fold_conv_kernel, folded_conv,
+    folded_avg_pool_2x2, folded_convT_2x2)
+
+
+def test_fold_unfold_roundtrip(rng):
+    x = jnp.asarray(rng.randn(2, 6, 16, 3).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(unfold_freq(fold_freq(x, 4), 4)), np.asarray(x))
+
+
+@pytest.mark.parametrize("kw,cin,cout,s", [(3, 8, 8, 4), (3, 8, 16, 2),
+                                           (1, 8, 16, 4)])
+def test_folded_conv_matches_plain(kw, cin, cout, s, rng):
+    x = jnp.asarray(rng.randn(2, 8, 16, cin).astype(np.float32))
+    w = jnp.asarray((rng.randn(kw, kw, cin, cout) * 0.1).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = unfold_freq(folded_conv(fold_freq(x, s), w, s), s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_folded_conv_with_groups(rng):
+    """Concat of two folded tensors == fold of the channel-concat."""
+    s = 4
+    a = jnp.asarray(rng.randn(1, 8, 16, 4).astype(np.float32))
+    b = jnp.asarray(rng.randn(1, 8, 16, 4).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 8, 4) * 0.1).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        jnp.concatenate([a, b], -1), w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    folded_in = jnp.concatenate([fold_freq(a, s), fold_freq(b, s)], -1)
+    out = unfold_freq(folded_conv(folded_in, w, s, in_groups=(4, 4)), s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_folded_avg_pool(rng):
+    import flax.linen as nn
+
+    x = jnp.asarray(rng.randn(2, 8, 16, 4).astype(np.float32))
+    ref = nn.avg_pool(x, (2, 2), (2, 2))
+    out = unfold_freq(folded_avg_pool_2x2(fold_freq(x, 4), 4), 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_folded_convT(rng):
+    from lass_tpu.nn.layers import conv_transpose2d
+
+    x = jnp.asarray(rng.randn(2, 4, 8, 6).astype(np.float32))
+    mod = conv_transpose2d(3, (2, 2), (2, 2))
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(variables, x)
+    w = variables["params"]["kernel"]  # (2, 2, out, in)
+    out = unfold_freq(folded_convT_2x2(fold_freq(x, 2), w, 2), 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_resunet_folded_equals_unfolded(rng):
+    plain = ResUNet30(freq_fold=1)
+    folded = ResUNet30(freq_fold=4)
+    x = {
+        "mixture": jnp.asarray(rng.randn(1, 1, 16000).astype(np.float32)
+                               * 0.1),
+        "condition": jnp.asarray(rng.randn(1, 512).astype(np.float32)),
+    }
+    variables = plain.init(jax.random.PRNGKey(0), x, train=False)
+    # identical parameter trees
+    v2 = folded.init(jax.random.PRNGKey(0), x, train=False)
+    p1 = {jax.tree_util.keystr(p): v.shape for p, v in
+          jax.tree_util.tree_flatten_with_path(variables["params"])[0]}
+    p2 = {jax.tree_util.keystr(p): v.shape for p, v in
+          jax.tree_util.tree_flatten_with_path(v2["params"])[0]}
+    assert p1 == p2
+
+    out1 = plain.apply(variables, x, train=False)["waveform"]
+    out2 = folded.apply(variables, x, train=False)["waveform"]
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=2e-5)
+
+    # train mode: identical up to f32 reduction-order noise in the batch
+    # statistics (stats reduce over differently-shaped views)
+    o1, m1 = plain.apply(variables, x, train=True, mutable=["batch_stats"])
+    o2, m2 = folded.apply(variables, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(o1["waveform"]),
+                               np.asarray(o2["waveform"]), atol=2e-4)
+    for (k1, a), (k2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(m1["batch_stats"])[0],
+            jax.tree_util.tree_flatten_with_path(m2["batch_stats"])[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(k1))
