@@ -47,14 +47,19 @@ def main():
     mixture = jax.random.normal(key, (batch, 1, samples), jnp.float32) * 0.1
     condition = jax.random.normal(key, (batch, 512), jnp.float32)
 
-    # warmup / compile
-    jax.block_until_ready(forward(mixture, condition))
-    jax.block_until_ready(forward(mixture, condition))
+    @jax.jit
+    def forward_sum(mixture, condition):
+        # scalar output: a host fetch of the sum forces full completion
+        # (block_until_ready can return early over the axon tunnel)
+        return jnp.sum(forward(mixture, condition))
+
+    float(forward_sum(mixture, condition))  # compile + warm
+    float(forward_sum(mixture, condition))
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forward(mixture, condition)
-    jax.block_until_ready(out)
+        out = forward_sum(mixture, condition)
+    float(out)
     dt = time.perf_counter() - t0
 
     clips_per_sec = batch * iters / dt

@@ -119,8 +119,18 @@ class CLAPQueryEncoder:
     def get_query_embed(self, modality: str,
                         audio: Optional[jax.Array] = None,
                         text: Optional[Sequence[str]] = None,
+                        text_neg: Optional[Sequence[str]] = None,
                         use_text_ratio: float = 0.5,
-                        seed: Optional[int] = None) -> jax.Array:
+                        seed: Optional[int] = None):
+        """text_neg (the neg-query variant, reference
+        'clap_encoder with_neg_query.py':93-125): returns the (pos, neg)
+        embedding pair for the task's TRAINABLE fusion layer
+        (lass_tpu.tasks.audiosep_variants.NegQueryFusion) — unlike the
+        reference, whose lazily-created fusion Linear is untrained and
+        unsaved (:128-143)."""
+        if modality == "text" and text_neg is not None:
+            return (self._get_text_embed(text),
+                    self._get_text_embed(text_neg))
         if modality == "text":
             return self._get_text_embed(text)
         if modality == "audio":

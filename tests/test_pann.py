@@ -1,0 +1,42 @@
+"""PANN Cnn14 (CLAP audio-branch alternative) tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lass_tpu.dsp.mel import LogMelConfig
+from lass_tpu.models.clap.pann import Cnn14, PANNConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_cnn14():
+    cfg = PANNConfig(mel=LogMelConfig(sample_rate=16000, n_fft=256,
+                                      hop_length=160, n_mels=64))
+    model = Cnn14(cfg)
+    wave = jnp.zeros((1, 16000))
+    variables = model.init(jax.random.PRNGKey(0), wave, train=False)
+    return cfg, model, variables
+
+
+def test_cnn14_forward(tiny_cnn14, rng):
+    cfg, model, variables = tiny_cnn14
+    wave = jnp.asarray(rng.randn(2, 16000).astype(np.float32) * 0.1)
+    out = model.apply(variables, wave, train=False)
+    assert out["embedding"].shape == (2, 2048)
+    assert out["clipwise_output"].shape == (2, 527)
+    assert np.isfinite(np.asarray(out["embedding"])).all()
+    probs = np.asarray(out["clipwise_output"])
+    assert (probs >= 0).all() and (probs <= 1).all()
+
+
+def test_cnn14_train_mode_dropout(tiny_cnn14, rng):
+    cfg, model, variables = tiny_cnn14
+    wave = jnp.asarray(rng.randn(1, 16000).astype(np.float32) * 0.1)
+    out1, _ = model.apply(variables, wave, train=True,
+                          mutable=["batch_stats"],
+                          rngs={"dropout": jax.random.PRNGKey(1)})
+    out2, _ = model.apply(variables, wave, train=True,
+                          mutable=["batch_stats"],
+                          rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(out1["embedding"]),
+                           np.asarray(out2["embedding"]))
