@@ -156,20 +156,34 @@ def apply_mask_and_reconstruct(
     """
     b, t, f, _ = mask_logits.shape
     x = mask_logits.astype(jnp.float32).reshape(b, t, f, output_channels, K)
-    mask_mag = jax.nn.sigmoid(x[..., 0])
-    _, mask_cos, mask_sin = magphase(jnp.tanh(x[..., 1]), jnp.tanh(x[..., 2]))
-
     cos_in = cos_in.astype(jnp.float32)
     sin_in = sin_in.astype(jnp.float32)
-    out_cos = cos_in * mask_cos - sin_in * mask_sin
-    out_sin = sin_in * mask_cos + cos_in * mask_sin
-    out_mag = jax.nn.relu(mag.astype(jnp.float32) * mask_mag)
+    mag = mag.astype(jnp.float32)
 
-    # reshape to (B*C_out, T, F) for a single batched ISTFT
-    out_real = jnp.moveaxis(out_mag * out_cos, -1, 1).reshape(
-        b * output_channels, t, f)
-    out_imag = jnp.moveaxis(out_mag * out_sin, -1, 1).reshape(
-        b * output_channels, t, f)
+    backend = jax.default_backend()
+    if backend in ("tpu", "axon"):
+        from lass_tpu.ops.pallas_masking import apply_complex_mask
+
+        # move C_out next to batch, fuse the whole mask chain in one
+        # Pallas VMEM pass per tile
+        lm = jnp.moveaxis(x[..., 0], -1, 1).reshape(b * output_channels, t, f)
+        lr = jnp.moveaxis(x[..., 1], -1, 1).reshape(b * output_channels, t, f)
+        li = jnp.moveaxis(x[..., 2], -1, 1).reshape(b * output_channels, t, f)
+        mg = jnp.moveaxis(mag, -1, 1).reshape(b * output_channels, t, f)
+        ci = jnp.moveaxis(cos_in, -1, 1).reshape(b * output_channels, t, f)
+        si = jnp.moveaxis(sin_in, -1, 1).reshape(b * output_channels, t, f)
+        out_real, out_imag = apply_complex_mask(lm, lr, li, mg, ci, si)
+    else:
+        mask_mag = jax.nn.sigmoid(x[..., 0])
+        _, mask_cos, mask_sin = magphase(jnp.tanh(x[..., 1]),
+                                         jnp.tanh(x[..., 2]))
+        out_cos = cos_in * mask_cos - sin_in * mask_sin
+        out_sin = sin_in * mask_cos + cos_in * mask_sin
+        out_mag = jax.nn.relu(mag * mask_mag)
+        out_real = jnp.moveaxis(out_mag * out_cos, -1, 1).reshape(
+            b * output_channels, t, f)
+        out_imag = jnp.moveaxis(out_mag * out_sin, -1, 1).reshape(
+            b * output_channels, t, f)
     wav = istft(out_real, out_imag, audio_length, stft_cfg)
     return wav.reshape(b, output_channels, audio_length)
 
