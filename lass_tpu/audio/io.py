@@ -7,8 +7,10 @@ multi-channel, returning float32 in [-1, 1] shaped (channels, samples).
 """
 from __future__ import annotations
 
+import os
 import struct
-from typing import Tuple
+import sys
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -17,8 +19,47 @@ _IEEE_FLOAT = 3
 _EXTENSIBLE = 0xFFFE
 
 
-def read_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Returns (data (channels, samples) float32 in [-1, 1], sample_rate)."""
+def _load_native():
+    """The C++ decoder (native/lassio.cpp) when built; None otherwise."""
+    native_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "native")
+    if native_dir not in sys.path and os.path.isdir(native_dir):
+        sys.path.append(native_dir)
+    try:
+        import lassio  # type: ignore
+
+        return lassio
+    except ImportError:
+        return None
+
+
+_NATIVE = _load_native()
+
+
+def read_wav(path: str, mono: bool = False) -> Tuple[np.ndarray, int]:
+    """Returns (data (channels, samples) float32 in [-1, 1], sample_rate).
+
+    Uses the native C++ decoder when available (GIL released during
+    conversion; mono mixdown fused into the decode), falling back to the
+    pure-python parser below.
+    """
+    if _NATIVE is not None:
+        with open(path, "rb") as f:
+            payload = f.read()
+        try:
+            data, sr = _NATIVE.decode_wav(payload, mono)
+            return data, sr
+        except ValueError as exc:
+            raise ValueError(f"{path}: {exc}") from exc
+    data, sr = _read_wav_py(path)
+    if mono and data.shape[0] > 1:
+        data = data.mean(axis=0, keepdims=True)
+    return data, sr
+
+
+def _read_wav_py(path: str) -> Tuple[np.ndarray, int]:
+    """Pure-python reference decoder."""
     with open(path, "rb") as f:
         riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
         if riff != b"RIFF" or wave != b"WAVE":
