@@ -81,17 +81,15 @@ class iAFF(nn.Module):
                  train: bool = False) -> jax.Array:
         inter = self.channels // self.r
         xa = x + residual
+        global_att = _AttBranch(self.channels, inter, global_pool=True,
+                                name="global_att")
         xl = _AttBranch(self.channels, inter, name="local_att")(xa, train)
-        xg = _AttBranch(self.channels, inter, global_pool=True,
-                        name="global_att")(xa, train)
-        wei = jax.nn.sigmoid(xl + xg)
+        wei = jax.nn.sigmoid(xl + global_att(xa, train))
         xi = x * wei + residual * (1 - wei)
         xl2 = _AttBranch(self.channels, inter, name="local_att2")(xi, train)
         # NOTE: the reference reuses global_att (not global_att2) in the
-        # second round (feature_fusion.py:124) — kept for parity.
-        xg2 = _AttBranch(self.channels, inter, global_pool=True,
-                         name="global_att")(xi, train)
-        wei2 = jax.nn.sigmoid(xl2 + xg2)
+        # second round (feature_fusion.py:124) — same shared module here.
+        wei2 = jax.nn.sigmoid(xl2 + global_att(xi, train))
         return x * wei2 + residual * (1 - wei2)
 
 
