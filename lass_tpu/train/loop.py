@@ -113,6 +113,12 @@ class Trainer:
         self.metrics = MetricsLogger(self.tf_logs_dir,
                                      run_name=pathlib.Path(config_yaml).stem)
 
+        from lass_tpu.utils.statistics import StatisticsContainer
+
+        self.statistics = StatisticsContainer(
+            os.path.join(os.path.dirname(self.tf_logs_dir).replace(
+                "tf_logs", "statistics"), "statistics.pkl"))
+
         state = self.task.init_state(
             jax.random.PRNGKey(cfg.train.random_seed),
             cfg.data.segment_samples, cfg.model.condition_size)
@@ -138,7 +144,12 @@ class Trainer:
         self.rep = rep
         self._step_fn = jax.jit(self.task.train_step, donate_argnums=(0,))
 
-    def fit(self, max_steps: Optional[int] = None) -> TrainState:
+    def fit(self, max_steps: Optional[int] = None,
+            eval_hook: Optional[callable] = None) -> TrainState:
+        """eval_hook(trainer, step) -> dict of metrics; called every
+        cfg.train.evaluate_step_frequency steps (reference
+        evaluate_step_frequency, config/audiosep_base.yaml:45). Typically
+        wraps a DCASEEvaluator over a held-out set."""
         cfg = self.cfg
         stop_at = cfg.train.early_stop_steps
         if max_steps is not None:
@@ -176,12 +187,39 @@ class Trainer:
                         "grad_norm": float(metrics["grad_norm"]),
                         "steps_per_sec": sps,
                     })
+                if (eval_hook is not None
+                        and step % cfg.train.evaluate_step_frequency == 0):
+                    eval_metrics = eval_hook(self, step)
+                    if eval_metrics:
+                        self.metrics.log(step, eval_metrics)
+                        self.statistics.append(step, eval_metrics, "test")
+                        logging.info("eval @ %d: %s", step, eval_metrics)
                 self.ckpt.maybe_save(step, self.state)
                 if step >= stop_at:
                     break
         self.ckpt.wait()
         self.metrics.finish()
         return self.state
+
+
+def make_dcase_eval_hook(eval_indexes: str, audio_dir: str,
+                         batch_size: int = 16):
+    """Eval hook running the DCASE T9 harness on the training state."""
+    from lass_tpu.evaluation.dcase import DCASEEvaluator, SeparationInference
+
+    evaluator = DCASEEvaluator(eval_indexes=eval_indexes,
+                               audio_dir=audio_dir, batch_size=batch_size)
+
+    def hook(trainer: "Trainer", step: int):
+        model = SeparationInference(
+            trainer.task.model,
+            {"params": trainer.state.params,
+             "batch_stats": trainer.state.batch_stats},
+            trainer.query_encoder)
+        sisdr, sdri, sdr = evaluator(model)
+        return {"eval_SISDR": sisdr, "eval_SDRi": sdri, "eval_SDR": sdr}
+
+    return hook
 
 
 def _step_from_path(path: str) -> Optional[int]:
