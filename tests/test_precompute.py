@@ -126,6 +126,37 @@ def test_multistft_task_train_step(small_multistft_state):
     assert np.isfinite(float(val))
 
 
+def test_train_multistft_cli(precomputed, corpus, tmp_path):
+    """scripts/train_multistft.py end-to-end: 1 step over the tiny
+    precomputed set."""
+    import os
+    import subprocess
+    import sys
+
+    out_dir, _, _ = precomputed
+    root, _ = corpus
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo, "JAX_PLATFORMS": "cpu"}
+    config = root / "config.yaml" if (root / "config.yaml").exists() else None
+    if config is None:
+        config = tmp_path / "cfg.yaml"
+        config.write_text(
+            "task_name: AudioSep\n"
+            "data:\n    sampling_rate: 16000\n    segment_seconds: 1\n"
+            "model:\n    condition_size: 512\n    compute_dtype: float32\n"
+            "train:\n    save_step_frequency: 100000\n")
+    result = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts",
+                                      "train_multistft.py"),
+         "--workspace", str(tmp_path / "ws"),
+         "--config_yaml", str(config),
+         "--precomputed_dir", out_dir,
+         "--max_steps", "1"],
+        env=env, capture_output=True, text=True, timeout=1200)
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "finished at step 1" in result.stdout
+
+
 def test_negquery_task(precomputed):
     from lass_tpu.models.resunet_multistft import MultiSTFTResUNet30
     from lass_tpu.tasks.audiosep_variants import (
