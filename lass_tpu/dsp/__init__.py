@@ -5,6 +5,7 @@ from lass_tpu.dsp.stft import (
     istft,
     magphase,
     spectrogram_phase,
+    wav_to_spectrogram_complex,
     wav_to_spectrogram_phase,
 )
 

@@ -238,6 +238,21 @@ def multi_resolution_spectrogram_phase(
     }
 
 
+def wav_to_spectrogram_complex(
+    x: jax.Array,
+    cfg: STFTConfig = STFTConfig(),
+    *,
+    precision=jax.lax.Precision.HIGHEST,
+) -> Tuple[jax.Array, jax.Array]:
+    """(B, C, L) -> (real, imag) each (B, T, F, C) [NHWC layout]."""
+    b, c, l = x.shape
+    real, imag = stft(x.reshape(b * c, l), cfg, precision=precision)
+    t, f = real.shape[-2:]
+    real = jnp.moveaxis(real.reshape(b, c, t, f), 1, -1)
+    imag = jnp.moveaxis(imag.reshape(b, c, t, f), 1, -1)
+    return real, imag
+
+
 def wav_to_spectrogram_phase(
     x: jax.Array,
     cfg: STFTConfig = STFTConfig(),
@@ -250,9 +265,5 @@ def wav_to_spectrogram_phase(
     Channel-vectorized equivalent of reference base.py:91-113 (which loops
     over channels in Python).
     """
-    b, c, l = x.shape
-    real, imag = stft(x.reshape(b * c, l), cfg, precision=precision)
-    t, f = real.shape[-2:]
-    real = jnp.moveaxis(real.reshape(b, c, t, f), 1, -1)
-    imag = jnp.moveaxis(imag.reshape(b, c, t, f), 1, -1)
+    real, imag = wav_to_spectrogram_complex(x, cfg, precision=precision)
     return spectrogram_phase(real, imag, eps)

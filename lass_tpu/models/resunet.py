@@ -28,7 +28,7 @@ from lass_tpu.dsp.stft import (
     STFTConfig,
     istft,
     magphase,
-    wav_to_spectrogram_phase,
+    wav_to_spectrogram_complex,
 )
 from lass_tpu.models.film import FusedFiLM, resunet30_film_spec
 from lass_tpu.nn.blocks import DecoderBlockRes1B, EncoderBlockRes1B
@@ -141,50 +141,50 @@ class ResUNet30Base(nn.Module):
 
 def apply_mask_and_reconstruct(
     mask_logits: jax.Array,
-    mag: jax.Array,
-    cos_in: jax.Array,
-    sin_in: jax.Array,
+    real_in: jax.Array,
+    imag_in: jax.Array,
     audio_length: int,
     stft_cfg: STFTConfig,
     output_channels: int,
     K: int = 3,
+    eps: float = 1e-10,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
     """K=3 complex-mask apply + phase rotation + ISTFT.
 
-    mask_logits: (B, T, F, C_out*K); mag/cos_in/sin_in: (B, T, F, C_in).
-    Returns (B, C_out, audio_length). Reference resunet.py:436-519.
+    mask_logits: (B, T, F, C_out*K); real_in/imag_in: the RAW mixture
+    spectrum (B, T, F, C_in) — the mixture mag/cos/sin decomposition
+    (reference base.py:91-113) happens inside the fused kernel so cos/sin
+    never materialize. Returns (B, C_out, L). Reference resunet.py:436-519.
     """
     b, t, f, _ = mask_logits.shape
     x = mask_logits.astype(jnp.float32).reshape(b, t, f, output_channels, K)
-    cos_in = cos_in.astype(jnp.float32)
-    sin_in = sin_in.astype(jnp.float32)
-    mag = mag.astype(jnp.float32)
+    real_in = real_in.astype(jnp.float32)
+    imag_in = imag_in.astype(jnp.float32)
+
+    def flat(a):
+        return jnp.moveaxis(a, -1, 1).reshape(b * output_channels, t, f)
 
     backend = jax.default_backend()
     if backend in ("tpu", "axon"):
-        from lass_tpu.ops.pallas_masking import apply_complex_mask
+        from lass_tpu.ops.pallas_masking import apply_complex_mask_ri
 
-        # move C_out next to batch, fuse the whole mask chain in one
-        # Pallas VMEM pass per tile
-        lm = jnp.moveaxis(x[..., 0], -1, 1).reshape(b * output_channels, t, f)
-        lr = jnp.moveaxis(x[..., 1], -1, 1).reshape(b * output_channels, t, f)
-        li = jnp.moveaxis(x[..., 2], -1, 1).reshape(b * output_channels, t, f)
-        mg = jnp.moveaxis(mag, -1, 1).reshape(b * output_channels, t, f)
-        ci = jnp.moveaxis(cos_in, -1, 1).reshape(b * output_channels, t, f)
-        si = jnp.moveaxis(sin_in, -1, 1).reshape(b * output_channels, t, f)
-        out_real, out_imag = apply_complex_mask(lm, lr, li, mg, ci, si)
+        out_real, out_imag = apply_complex_mask_ri(
+            flat(x[..., 0]), flat(x[..., 1]), flat(x[..., 2]),
+            flat(real_in), flat(imag_in))
     else:
+        mag = jnp.sqrt(jnp.maximum(real_in ** 2 + imag_in ** 2, eps))
+        cos_in, sin_in = real_in / mag, imag_in / mag
         mask_mag = jax.nn.sigmoid(x[..., 0])
         _, mask_cos, mask_sin = magphase(jnp.tanh(x[..., 1]),
                                          jnp.tanh(x[..., 2]))
         out_cos = cos_in * mask_cos - sin_in * mask_sin
         out_sin = sin_in * mask_cos + cos_in * mask_sin
         out_mag = jax.nn.relu(mag * mask_mag)
-        out_real = jnp.moveaxis(out_mag * out_cos, -1, 1).reshape(
-            b * output_channels, t, f)
-        out_imag = jnp.moveaxis(out_mag * out_sin, -1, 1).reshape(
-            b * output_channels, t, f)
-    wav = istft(out_real, out_imag, audio_length, stft_cfg)
+        out_real = flat(out_mag * out_cos)
+        out_imag = flat(out_mag * out_sin)
+    wav = istft(out_real, out_imag, audio_length, stft_cfg,
+                precision=precision)
     return wav.reshape(b, output_channels, audio_length)
 
 
@@ -204,6 +204,9 @@ class ResUNet30(nn.Module):
     hop_size: int = 160
     compute_dtype: Any = jnp.float32
     freq_fold: int = 4  # TPU-first default; 1 = reference-shaped execution
+    # f32 DSP matmul passes: HIGHEST = exact f32 (6-pass, parity runs),
+    # HIGH = 3-pass (~1e-6 rel — default), DEFAULT = 1-pass bf16
+    dsp_precision: Any = jax.lax.Precision.HIGH
 
     @property
     def stft_cfg(self) -> STFTConfig:
@@ -219,8 +222,9 @@ class ResUNet30(nn.Module):
         film = FusedFiLM(resunet30_film_spec(), self.condition_size,
                          name="film")(condition.astype(jnp.float32))
 
-        mag, cos_in, sin_in = wav_to_spectrogram_phase(
-            mixture, self.stft_cfg)  # each (B, T, F, C)
+        real_in, imag_in = wav_to_spectrogram_complex(
+            mixture, self.stft_cfg, precision=self.dsp_precision)
+        mag = jnp.sqrt(jnp.maximum(real_in ** 2 + imag_in ** 2, 1e-10))
 
         freq_bins = self.stft_cfg.freq_bins
         origin_t = mag.shape[1]
@@ -241,6 +245,6 @@ class ResUNet30(nn.Module):
         x = x[:, :origin_t]
 
         waveform = apply_mask_and_reconstruct(
-            x, mag, cos_in, sin_in, audio_length, self.stft_cfg,
-            self.output_channels, self.K)
+            x, real_in, imag_in, audio_length, self.stft_cfg,
+            self.output_channels, self.K, precision=self.dsp_precision)
         return {"waveform": waveform}

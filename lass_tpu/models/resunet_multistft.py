@@ -150,5 +150,9 @@ def _reconstruct(mask_logits, mag, cos_in, sin_in, length, cfg,
                  output_channels, K):
     from lass_tpu.models.resunet import apply_mask_and_reconstruct
 
+    # precomputed batches store (mag, cos, sin); the fused reconstruction
+    # takes the raw complex spectrum
+    real_in = mag * cos_in
+    imag_in = mag * sin_in
     return apply_mask_and_reconstruct(
-        mask_logits, mag, cos_in, sin_in, length, cfg, output_channels, K)
+        mask_logits, real_in, imag_in, length, cfg, output_channels, K)

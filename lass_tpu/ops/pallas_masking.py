@@ -38,6 +38,73 @@ def _mask_math(l_mag, l_real, l_imag, mag, cos_in, sin_in):
     return out_mag * out_cos, out_mag * out_sin
 
 
+def _mask_math_from_ri(l_mag, l_real, l_imag, real_in, imag_in,
+                       eps: float = 1e-10):
+    """Same chain but deriving mag/cos/sin from the raw complex spectrum
+    inside the kernel (reference base.py:83-88 semantics: power clamped at
+    eps before the sqrt), so cos/sin never hit HBM."""
+    mag = jnp.sqrt(jnp.maximum(real_in * real_in + imag_in * imag_in, eps))
+    return _mask_math(l_mag, l_real, l_imag, mag, real_in / mag,
+                      imag_in / mag)
+
+
+def _kernel_ri(lm_ref, lr_ref, li_ref, re_ref, im_ref, real_ref, imag_ref):
+    real, imag = _mask_math_from_ri(lm_ref[:], lr_ref[:], li_ref[:],
+                                    re_ref[:], im_ref[:])
+    real_ref[:] = real
+    imag_ref[:] = imag
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def apply_complex_mask_ri(l_mag, l_real, l_imag, real_in, imag_in,
+                          interpret: bool = False):
+    """(..., F) x5 -> (real, imag): fused mask apply taking the raw STFT
+    real/imag (mag/cos/sin computed in-VMEM)."""
+    return _pallas_forward_ri(l_mag, l_real, l_imag, real_in, imag_in,
+                              interpret)
+
+
+def _pallas_forward_ri(l_mag, l_real, l_imag, real_in, imag_in, interpret):
+    shape = l_mag.shape
+    f = shape[-1]
+    m = 1
+    for d in shape[:-1]:
+        m *= d
+    args = [a.astype(jnp.float32).reshape(m, f)
+            for a in (l_mag, l_real, l_imag, real_in, imag_in)]
+    rows = _BLOCK_ROWS
+    pad = (-m) % rows
+    if pad:
+        args = [jnp.pad(a, ((0, pad), (0, 0))) for a in args]
+    grid = ((m + pad) // rows,)
+    spec = pl.BlockSpec((rows, f), lambda i: (i, 0))
+    real, imag = pl.pallas_call(
+        _kernel_ri,
+        grid=grid,
+        in_specs=[spec] * 5,
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((m + pad, f), jnp.float32),
+                   jax.ShapeDtypeStruct((m + pad, f), jnp.float32)),
+        interpret=interpret,
+    )(*args)
+    return real[:m].reshape(shape), imag[:m].reshape(shape)
+
+
+def _fwd_ri(l_mag, l_real, l_imag, real_in, imag_in, interpret):
+    out = _pallas_forward_ri(l_mag, l_real, l_imag, real_in, imag_in,
+                             interpret)
+    return out, (l_mag, l_real, l_imag, real_in, imag_in)
+
+
+def _bwd_ri(interpret, residuals, cotangents):
+    del interpret
+    _, vjp_fn = jax.vjp(lambda *a: _mask_math_from_ri(*a), *residuals)
+    return vjp_fn(cotangents)
+
+
+apply_complex_mask_ri.defvjp(_fwd_ri, _bwd_ri)
+
+
 def _kernel(lm_ref, lr_ref, li_ref, mag_ref, cos_ref, sin_ref,
             real_ref, imag_ref):
     real, imag = _mask_math(lm_ref[:], lr_ref[:], li_ref[:], mag_ref[:],
