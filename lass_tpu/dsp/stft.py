@@ -218,6 +218,26 @@ def spectrogram_phase(
     return mag, real / mag, imag / mag
 
 
+def spectrogram_to_wav(
+    x: jax.Array,
+    spectrogram: jax.Array,
+    length: int,
+    cfg: STFTConfig = STFTConfig(),
+    *,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Rebuild waveforms from a (possibly modified) magnitude spectrogram
+    using the phase of ``x`` (reference base.py:133-152, vectorized over
+    channels). x: (B, C, L); spectrogram: (B, T, F, C) -> (B, C, length)."""
+    real, imag = wav_to_spectrogram_complex(x, cfg, precision=precision)
+    _, cos, sin = magphase(real, imag)
+    b, t, f, c = spectrogram.shape
+    out_real = jnp.moveaxis(spectrogram * cos, -1, 1).reshape(b * c, t, f)
+    out_imag = jnp.moveaxis(spectrogram * sin, -1, 1).reshape(b * c, t, f)
+    wav = istft(out_real, out_imag, length, cfg, precision=precision)
+    return wav.reshape(b, c, length)
+
+
 def multi_resolution_spectrogram_phase(
     x: jax.Array,
     win_lengths,
