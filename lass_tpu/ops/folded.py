@@ -50,32 +50,46 @@ def unfold_freq(x: jax.Array, s: int) -> jax.Array:
     return x.reshape(b, t, g * s, sc // s)
 
 
-def fold_conv_kernel(w: jax.Array, s: int,
-                     in_groups: Optional[Sequence[int]] = None) -> jax.Array:
-    """(kh, kw, Cin, Cout) logical -> (kh, kw', s*Cin, s*Cout) folded.
+import functools
 
-    in_groups: when the folded input is a CONCAT of separately-folded
-    tensors (decoder skip concat), the channel splits of Cin.
-    """
-    kh, kw, cin, cout = w.shape
+
+@functools.lru_cache(maxsize=None)
+def _fold_embedding(s: int, kw: int) -> np.ndarray:
+    """Constant 0/1 tensor E[D, r_i, r_o, df] selecting which logical
+    kernel tap feeds each folded (D, r_i -> r_o) entry."""
     half = kw // 2
-    in_groups = list(in_groups) if in_groups else [cin]
-    offsets = np.cumsum([0] + in_groups)
-    out = jnp.zeros((kh, kw, s * cin, s * cout), w.dtype)
+    e = np.zeros((kw, s, s, kw), np.float32)
     for d in range(-half, half + 1):
         for r_i in range(s):
             for r_o in range(s):
                 df = s * d + r_i - r_o
                 if -half <= df <= half:
-                    ws = w[:, df + half]  # (kh, Cin, Cout)
-                    for gi, cg in enumerate(in_groups):
-                        i0 = int(offsets[gi])
-                        base = s * i0 + r_i * cg
-                        out = out.at[
-                            :, d + half, base:base + cg,
-                            r_o * cout:(r_o + 1) * cout,
-                        ].set(ws[:, i0:i0 + cg, :])
-    return out
+                    e[d + half, r_i, r_o, df + half] = 1.0
+    return e
+
+
+def fold_conv_kernel(w: jax.Array, s: int,
+                     in_groups: Optional[Sequence[int]] = None) -> jax.Array:
+    """(kh, kw, Cin, Cout) logical -> (kh, kw, s*Cin, s*Cout) folded, via
+    ONE einsum against a trace-time constant embedding.
+
+    in_groups: when the folded input is a CONCAT of separately-folded
+    tensors (decoder skip concat), the channel splits of Cin.
+    """
+    kh, kw, cin, cout = w.shape
+    e = jnp.asarray(_fold_embedding(s, kw))
+    if not in_groups or len(in_groups) == 1:
+        # out[k, d, r_i, c_i, r_o, c_o] = sum_f E[d,r_i,r_o,f] W[k,f,c_i,c_o]
+        folded = jnp.einsum("drof,kfij->kdrioj", e, w)
+        return folded.reshape(kh, kw, s * cin, s * cout)
+    offsets = np.cumsum([0] + list(in_groups))
+    parts = []
+    for gi, cg in enumerate(in_groups):
+        i0 = int(offsets[gi])
+        wg = w[:, :, i0:i0 + cg]
+        folded = jnp.einsum("drof,kfij->kdrioj", e, wg)
+        parts.append(folded.reshape(kh, kw, s * cg, s * cout))
+    return jnp.concatenate(parts, axis=2)
 
 
 def folded_conv(x: jax.Array, w: jax.Array, s: int,
