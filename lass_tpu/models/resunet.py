@@ -231,10 +231,12 @@ class ResUNet30(nn.Module):
         pad_t = int(np.ceil(origin_t / TIME_DOWNSAMPLE_RATIO)
                     ) * TIME_DOWNSAMPLE_RATIO - origin_t
 
-        x = BatchNorm(freq_bins, axis=2, name="bn0")(mag, train)
+        # cast before bn0 so the UNet-facing chain stays in compute_dtype
+        # (BN statistics are still accumulated in f32 internally)
+        x = mag.astype(self.compute_dtype)
+        x = BatchNorm(freq_bins, axis=2, name="bn0")(x, train)
         x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
-        x = x[:, :, :freq_bins - 1, :]  # 513 -> 512
-        x = x.astype(self.compute_dtype)
+        x = x[:, :, :freq_bins - 1, :]
 
         x = ResUNet30Base(self.input_channels, self.output_channels, self.K,
                           freq_fold=self.freq_fold,

@@ -147,7 +147,11 @@ def dense(
 
 
 def leaky_relu(x: jax.Array, negative_slope: float = 0.01) -> jax.Array:
-    return jnp.where(x >= 0, x, negative_slope * x)
+    # max(x, a*x) == where(x >= 0, x, a*x) for 0 < a < 1, and the maximum
+    # form fuses into neighboring TPU ops where compare+select does not
+    # (profiler showed standalone compare_select fusions costing ~13 ms on
+    # a 16-clip forward)
+    return jnp.maximum(x, negative_slope * x)
 
 
 def avg_pool(x: jax.Array, window: Tuple[int, int]) -> jax.Array:
