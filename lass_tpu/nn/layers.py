@@ -22,6 +22,7 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 xavier_uniform = nn.initializers.xavier_uniform
 
@@ -35,11 +36,20 @@ class BatchNorm(nn.Module):
     axis: int = -1
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool,
+                 feature_map=None) -> jax.Array:
+        """feature_map: optional static int array of length
+        x.shape[axis] mapping each physical channel to a logical feature in
+        [0, features). Used by the frequency-folded execution
+        (lass_tpu.ops.folded) where s folded copies of each logical channel
+        live along the channel axis — statistics and normalization are
+        computed EXACTLY as if the tensor were unfolded, without any
+        reshape of the large activation."""
         feature_axis = self.axis % x.ndim
         reduction_axes = tuple(i for i in range(x.ndim) if i != feature_axis)
+        n_phys = x.shape[feature_axis]
         shape = [1] * x.ndim
-        shape[feature_axis] = self.features
+        shape[feature_axis] = n_phys
 
         ra_mean = self.variable(
             "batch_stats", "mean",
@@ -50,11 +60,29 @@ class BatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
+        if feature_map is None:
+            fm = None
+            assert n_phys == self.features
+        else:
+            fm = np.asarray(feature_map)
+            assert len(fm) == n_phys
+
         if train:
             # statistics in f32 (reductions are cheap; accuracy matters)
             xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=reduction_axes)
-            mean2 = jnp.mean(jnp.square(xf), axis=reduction_axes)
+            mean_p = jnp.mean(xf, axis=reduction_axes)
+            mean2_p = jnp.mean(jnp.square(xf), axis=reduction_axes)
+            if fm is not None:
+                # aggregate folded copies into logical features (each
+                # logical feature appears the same number of times)
+                onehot = jnp.asarray(
+                    (fm[:, None] == np.arange(self.features)[None, :]
+                     ).astype(np.float32))
+                counts = onehot.sum(axis=0)
+                mean = (mean_p @ onehot) / counts
+                mean2 = (mean2_p @ onehot) / counts
+            else:
+                mean, mean2 = mean_p, mean2_p
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 n = x.size // self.features
@@ -70,6 +98,9 @@ class BatchNorm(nn.Module):
         # per-feature constants stay f32-accurate).
         inv = jax.lax.rsqrt(var + self.eps) * scale.astype(jnp.float32)
         shift = bias.astype(jnp.float32) - mean * inv
+        if fm is not None:
+            inv = inv[fm]
+            shift = shift[fm]
         y = x * inv.reshape(shape).astype(x.dtype) \
             + shift.reshape(shape).astype(x.dtype)
         return y

@@ -107,11 +107,16 @@ def folded_conv(x: jax.Array, w: jax.Array, s: int,
 
 
 def folded_avg_pool_2x2(x: jax.Array, s: int) -> jax.Array:
-    """2x2 avg pool on a fold-s tensor -> fold-s//2 tensor at (T/2, G)."""
+    """2x2 avg pool on a (plain) fold-s tensor -> fold-s//2 tensor at
+    (T/2, G). Channel-axis slicing instead of a fine-grained reshape keeps
+    the TPU layout intact (no copies)."""
     b, t, g, sc = x.shape
     c = sc // s
-    x = x.reshape(b, t // 2, 2, g, s // 2, 2, c).mean(axis=(2, 5))
-    return x.reshape(b, t // 2, g, (s // 2) * c)
+    xt = nn.avg_pool(x, (2, 1), (2, 1))
+    parts = [0.5 * (xt[..., (2 * k) * c:(2 * k + 1) * c]
+                    + xt[..., (2 * k + 1) * c:(2 * k + 2) * c])
+             for k in range(s // 2)]
+    return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
 
 
 def folded_convT_2x2(x: jax.Array, w: jax.Array, s_in: int) -> jax.Array:
@@ -147,27 +152,30 @@ class ConvParams(nn.Module):
         return kernel, bias
 
 
+def fold_feature_map(s: int, groups: Sequence[int]) -> np.ndarray:
+    """Physical-folded-channel -> logical-channel index map for fold s over
+    (possibly concatenated) groups of logical channels."""
+    fm = []
+    off = 0
+    for cg in groups:
+        for _r in range(s):
+            fm.extend(range(off, off + cg))
+        off += cg
+    return np.asarray(fm, np.int32)
+
+
 def folded_bn_film_act(x: jax.Array, s: int, c: int, bn: BatchNorm,
                        beta: jax.Array, train: bool,
                        in_groups: Optional[Sequence[int]] = None
                        ) -> jax.Array:
-    """BN + FiLM beta + leaky-relu on the (B,T,G,s,C) view — statistics and
-    math identical to the unfolded form. When the input is a concat of
-    separately-folded groups, each group is viewed 5D first so the feature
-    axis is in logical channel order; the result comes back PLAIN-folded
-    (u = r*C + c), so downstream convs use the plain folded kernel."""
-    b, t, g, _ = x.shape
-    if in_groups:
-        parts = []
-        off = 0
-        for cg in in_groups:
-            parts.append(x[..., off:off + s * cg].reshape(b, t, g, s, cg))
-            off += s * cg
-        x5 = jnp.concatenate(parts, axis=-1)
-    else:
-        x5 = x.reshape(b, t, g, s, c)
-    h = bn(x5, train) + beta[:, None, None, None, :].astype(x.dtype)
-    return leaky_relu(h).reshape(b, t, g, s * c)
+    """BN + FiLM beta + leaky-relu directly on the folded layout via
+    BatchNorm's feature_map (no reshape of the big activation, so no
+    layout copies). The channel layout in == layout out (grouped stays
+    grouped; downstream convs use matching in_groups kernels)."""
+    fm = fold_feature_map(s, in_groups or [c])
+    h = bn(x, train, feature_map=fm)
+    h = h + beta[:, fm][:, None, None, :].astype(h.dtype)
+    return leaky_relu(h)
 
 
 class FoldedConvBlockRes(nn.Module):
@@ -189,10 +197,10 @@ class FoldedConvBlockRes(nn.Module):
             x, s, self.in_channels,
             BatchNorm(self.in_channels, self.momentum, name="bn1"),
             film["beta1"], train, in_groups=groups)
-        # folded_bn_film_act returns plain-folded layout regardless of groups
+        # layout preserved: grouped input needs the grouped folded kernel
         w1, _ = ConvParams((*self.kernel_size, self.in_channels,
                             self.out_channels), name="conv1")()
-        h = folded_conv(h, w1, s)
+        h = folded_conv(h, w1, s, in_groups=groups)
         h = folded_bn_film_act(
             h, s, self.out_channels,
             BatchNorm(self.out_channels, self.momentum, name="bn2"),
