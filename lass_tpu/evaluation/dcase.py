@@ -144,3 +144,20 @@ class SeparationInference:
                                          (0, padded - length)))
         out = self._forward(jnp.asarray(mixtures), jnp.asarray(conditions))
         return np.asarray(out)[..., :length]
+
+    def separate_long(self, mixture: np.ndarray, condition: np.ndarray,
+                      chunk_cfg=None, max_batch: int = 16) -> np.ndarray:
+        """Arbitrary-length (1, 1, L) separation via batched overlapping
+        windows (reference ResUNet30.chunk_inference, resunet.py:655-714
+        — but all windows run as ONE batched forward)."""
+        from lass_tpu.models.chunk import ChunkConfig, chunk_inference
+
+        jnp = self._jnp
+        cfg = chunk_cfg or ChunkConfig()
+
+        def apply_fn(input_dict):
+            return self._forward(input_dict["mixture"],
+                                 input_dict["condition"])
+
+        return chunk_inference(apply_fn, jnp.asarray(mixture),
+                               jnp.asarray(condition), cfg, max_batch)
