@@ -36,15 +36,38 @@ class BatchNorm(nn.Module):
     axis: int = -1
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool,
-                 feature_map=None) -> jax.Array:
+    def __call__(self, x: Optional[jax.Array], train: bool,
+                 feature_map=None, return_affine: bool = False):
         """feature_map: optional static int array of length
         x.shape[axis] mapping each physical channel to a logical feature in
         [0, features). Used by the frequency-folded execution
         (lass_tpu.ops.folded) where s folded copies of each logical channel
         live along the channel axis — statistics and normalization are
         computed EXACTLY as if the tensor were unfolded, without any
-        reshape of the large activation."""
+        reshape of the large activation.
+
+        return_affine=True (eval only): instead of applying, return the
+        per-physical-channel (inv, shift) f32 vectors such that
+        y = x * inv + shift — consumed by fused Pallas kernels."""
+        if return_affine:
+            assert not train
+            scale = self.param("scale", nn.initializers.ones,
+                               (self.features,))
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            mean = self.variable(
+                "batch_stats", "mean",
+                lambda: jnp.zeros((self.features,), jnp.float32)).value
+            var = self.variable(
+                "batch_stats", "var",
+                lambda: jnp.ones((self.features,), jnp.float32)).value
+            inv = jax.lax.rsqrt(var + self.eps) * scale.astype(jnp.float32)
+            shift = bias.astype(jnp.float32) - mean * inv
+            if feature_map is not None:
+                fm = np.asarray(feature_map)
+                inv, shift = inv[fm], shift[fm]
+            return inv, shift
+
         feature_axis = self.axis % x.ndim
         reduction_axes = tuple(i for i in range(x.ndim) if i != feature_axis)
         n_phys = x.shape[feature_axis]

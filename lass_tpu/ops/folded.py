@@ -193,6 +193,39 @@ class FoldedConvBlockRes(nn.Module):
     def __call__(self, x: jax.Array, film, train: bool) -> jax.Array:
         s = self.fold
         groups = self.in_groups
+
+        if (not train and groups is None
+                and self.in_channels == self.out_channels
+                and self.kernel_size == (3, 3)
+                and jax.default_backend() in ("tpu", "axon")
+                and x.shape[1] % 32 == 0):
+            # eval fast path: whole residual block in one fused Pallas
+            # kernel (lass_tpu.ops.pallas_convblock)
+            from lass_tpu.ops.pallas_convblock import (
+                fused_residual_conv_block)
+
+            fm = fold_feature_map(s, [self.in_channels])
+            inv1, sh1 = BatchNorm(self.in_channels, self.momentum,
+                                  name="bn1")(None, False, feature_map=fm,
+                                              return_affine=True)
+            inv2, sh2 = BatchNorm(self.out_channels, self.momentum,
+                                  name="bn2")(None, False, feature_map=fm,
+                                              return_affine=True)
+            w1, _ = ConvParams((*self.kernel_size, self.in_channels,
+                                self.out_channels), name="conv1")()
+            w2, _ = ConvParams((*self.kernel_size, self.out_channels,
+                                self.out_channels), name="conv2")()
+            batch = x.shape[0]
+            # beta adds AFTER normalization (pre-activation), so the fused
+            # shift is shift_bn + beta
+            a1 = jnp.broadcast_to(inv1[None], (batch, len(fm)))
+            b1 = sh1[None] + film["beta1"][:, fm].astype(jnp.float32)
+            a2 = jnp.broadcast_to(inv2[None], (batch, len(fm)))
+            b2 = sh2[None] + film["beta2"][:, fm].astype(jnp.float32)
+            return fused_residual_conv_block(
+                x, fold_conv_kernel(w1, s), fold_conv_kernel(w2, s),
+                a1, b1, a2, b2, t_tile=32)
+
         h = folded_bn_film_act(
             x, s, self.in_channels,
             BatchNorm(self.in_channels, self.momentum, name="bn1"),
