@@ -194,7 +194,14 @@ class FoldedConvBlockRes(nn.Module):
         s = self.fold
         groups = self.in_groups
 
-        if (not train and groups is None
+        # Fused-kernel path: measured SLOWER than XLA's conv fusions on
+        # v5e (110 ms vs 83 ms per 16-clip forward — the halo-window
+        # materialization and 34x128 @ 128x128 per-tile matmuls lose to
+        # XLA's pipelined convolutions), so it is opt-in for now.
+        import os
+
+        if (os.environ.get("LASS_TPU_FUSED_CONV_BLOCK") == "1"
+                and not train and groups is None
                 and self.in_channels == self.out_channels
                 and self.kernel_size == (3, 3)
                 and jax.default_backend() in ("tpu", "axon")

@@ -52,10 +52,11 @@ def _block_kernel(x_ref, w1_ref, w2_ref, a1_ref, b1_ref, a2_ref, b2_ref,
                   out_ref):
     t_tile = out_ref.shape[1]
     x = x_ref[0, 0]  # (t_tile + 4, G, U)
-    a1 = a1_ref[0][None, None, :]
-    b1 = b1_ref[0][None, None, :]
-    a2 = a2_ref[0][None, None, :]
-    b2 = b2_ref[0][None, None, :]
+    bi = pl.program_id(0)
+    a1 = a1_ref[pl.ds(bi, 1), :][None]  # (1, 1, U)
+    b1 = b1_ref[pl.ds(bi, 1), :][None]
+    a2 = a2_ref[pl.ds(bi, 1), :][None]
+    b2 = b2_ref[pl.ds(bi, 1), :][None]
 
     # SAME-conv zero padding applies to the ACTIVATED tensors, and
     # affine(0) != 0 — rows outside the global [0, T) range must be zeroed
@@ -100,7 +101,7 @@ def fused_residual_conv_block(
         [jax.lax.dynamic_slice_in_dim(xp, i * t_tile, t_tile + 4, axis=1)
          for i in range(n_t)], axis=1)  # (B, n_t, t_tile+4, G, U)
 
-    vec = pl.BlockSpec((1, u), lambda bi, ti: (bi, 0))
+    vec = pl.BlockSpec((b, u), lambda bi, ti: (0, 0))  # whole table
     full_w = pl.BlockSpec((3, 3, u, u), lambda bi, ti: (0, 0, 0, 0))
     return pl.pallas_call(
         _block_kernel,
