@@ -46,8 +46,6 @@ def load_inference_variables(model, checkpoint_path: str,
     if os.path.isdir(checkpoint_path):
         import orbax.checkpoint as ocp
 
-        from lass_tpu.tasks.audiosep import TrainState
-
         # orbax dir: either a manager root (pick latest step) or a step dir
         root = checkpoint_path
         name = os.path.basename(os.path.normpath(root))
@@ -58,22 +56,18 @@ def load_inference_variables(model, checkpoint_path: str,
         step = step if step is not None else mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {checkpoint_path}")
-        abstract = TrainState(
-            step=jax.ShapeDtypeStruct((), jnp.int32),
-            params=jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                template["params"]),
-            batch_stats=jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                template["batch_stats"]),
-            opt_state=None,
-        )
-        import orbax.checkpoint as ocp
-
-        state = mgr.restore(
-            step, args=ocp.args.StandardRestore(abstract, strict=False))
+        # build the abstract tree from the STORED metadata (the optimizer
+        # state shape is training-config dependent; we don't need to know it)
+        meta = mgr.item_metadata(step)
+        abstract = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), meta)
+        state = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
         mgr.close()
-        return {"params": state.params, "batch_stats": state.batch_stats}
+        if hasattr(state, "params"):
+            return {"params": state.params,
+                    "batch_stats": state.batch_stats}
+        return {"params": state["params"],
+                "batch_stats": state["batch_stats"]}
 
     # torch checkpoint file -> convert
     from lass_tpu.convert.torch_to_jax import convert_resunet30
@@ -88,6 +82,25 @@ def load_inference_variables(model, checkpoint_path: str,
                                              converted["params"]),
             "batch_stats": jax.tree_util.tree_map(
                 jnp.asarray, converted["batch_stats"])}
+
+
+def load_ss_model(configs, checkpoint_path: str, query_encoder=None):
+    """API-parity wrapper (reference utils.load_ss_model, utils.py:356-400):
+    build the separator from a config dict/Config and load a checkpoint
+    (orbax dir or torch .ckpt), returning a SeparationInference ready for
+    the DCASE evaluator."""
+    from lass_tpu.config import Config, _build
+    from lass_tpu.evaluation.dcase import SeparationInference
+    from lass_tpu.models.query_encoder import CLAPQueryEncoder
+    from lass_tpu.train.loop import build_model
+
+    cfg = configs if isinstance(configs, Config) else _build(Config, configs)
+    model = build_model(cfg)
+    variables = load_inference_variables(
+        model, checkpoint_path, cfg.data.segment_samples,
+        cfg.model.condition_size)
+    return SeparationInference(model, variables,
+                               query_encoder or CLAPQueryEncoder())
 
 
 def load_npz_variables(path: str) -> Dict[str, Any]:

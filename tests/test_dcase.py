@@ -74,6 +74,40 @@ def test_evaluator_identity_model(eval_set):
     assert np.isfinite(sisdr) and np.isfinite(sdr)
 
 
+def test_load_ss_model_roundtrip(tmp_path, rng):
+    """load_ss_model (reference utils.py:356-400 parity): save an orbax
+    training checkpoint, reload for inference, separate a clip."""
+    import jax
+    import jax.numpy as jnp
+
+    from lass_tpu.config import Config
+    from lass_tpu.convert.checkpoint_io import load_ss_model
+    from lass_tpu.data.mixer import SegmentMixer
+    from lass_tpu.tasks.audiosep import AudioSepTask
+    from lass_tpu.train.checkpoint import CheckpointManager
+    from lass_tpu.train.loop import build_model
+    from lass_tpu.train.optim import build_optimizer
+
+    cfg = Config()
+    cfg.data.segment_seconds = 1
+    cfg.model.compute_dtype = "float32"
+    task = AudioSepTask(build_model(cfg), SegmentMixer(2, -10, 10),
+                        build_optimizer("AdamW", 1e-3, "constant_warm_up",
+                                        10, 100))
+    state = task.init_state(jax.random.PRNGKey(0), 16000)
+    ckpt = CheckpointManager(str(tmp_path / "ckpts"), 1)
+    ckpt.save(1, state)
+    ckpt.wait()
+
+    model = load_ss_model(cfg, str(tmp_path / "ckpts"),
+                          query_encoder=IdentityModel._QE())
+    out = model.separate(
+        rng.randn(1, 1, 16000).astype(np.float32) * 0.1,
+        np.zeros((1, 512), np.float32))
+    assert out.shape == (1, 1, 16000)
+    assert np.isfinite(out).all()
+
+
 def test_evaluator_oracle_model(eval_set, rng):
     """A 'perfect' separator stub that we rig to return the clean source:
     SDR must be very large."""
