@@ -1,0 +1,57 @@
+"""Language-queried separation CLI: mixture wav + caption -> separated wav.
+
+The user-facing inference entry the reference exposes only through code
+(AudioSep pipeline / chunk_inference). Long inputs are handled with
+batched overlapping windows.
+
+    python separate.py --checkpoint_path CKPT --input mix.wav \
+        --query "a dog barking" --output sep.wav \
+        [--config_yaml config/audiosep_base.yaml] [--chunked]
+"""
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint_path", required=True)
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--query", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--config_yaml", default="config/audiosep_base.yaml")
+    parser.add_argument("--chunked", action="store_true",
+                        help="overlapped-window inference for long audio")
+    args = parser.parse_args()
+
+    import numpy as np
+
+    from lass_tpu.audio.io import read_wav, write_wav
+    from lass_tpu.audio.resample import resample_np
+    from lass_tpu.config import load_config
+    from lass_tpu.convert.checkpoint_io import load_ss_model
+
+    cfg = load_config(args.config_yaml)
+    model = load_ss_model(cfg, args.checkpoint_path)
+
+    audio, sr = read_wav(args.input, mono=True)
+    wave = audio[0]
+    if sr != cfg.data.sampling_rate:
+        wave = resample_np(wave, sr, cfg.data.sampling_rate)
+
+    condition = np.asarray(model.query_encoder.get_query_embed(
+        "text", text=[args.query]))
+
+    if args.chunked:
+        separated = model.separate_long(
+            wave[None, None, :].astype(np.float32), condition)[0]
+    else:
+        separated = model.separate(
+            wave[None, None, :].astype(np.float32), condition)[0, 0]
+
+    write_wav(args.output, separated[None, :], cfg.data.sampling_rate)
+    duration = len(separated) / cfg.data.sampling_rate
+    print(f"wrote {args.output} ({duration:.1f}s at "
+          f"{cfg.data.sampling_rate} Hz)")
+
+
+if __name__ == "__main__":
+    main()
