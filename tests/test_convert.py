@@ -121,6 +121,28 @@ def test_film_packing_order(converted):
     raise AssertionError("spec entry not found")
 
 
+def test_torch_ckpt_file_roundtrip(tmp_path):
+    """A Lightning-style .ckpt file (state_dict under 'state_dict') loads
+    through load_inference_variables with shape validation."""
+    import torch
+
+    from lass_tpu.convert.checkpoint_io import load_inference_variables
+
+    rng = np.random.RandomState(3)
+    sd = {k: torch.from_numpy(v)
+          for k, v in synth_resunet_state_dict(rng).items()}
+    path = str(tmp_path / "model.ckpt")
+    torch.save({"state_dict": sd, "global_step": 12345}, path)
+
+    model = ResUNet30()
+    variables = load_inference_variables(model, path, 16000)
+    out = model.apply(
+        variables,
+        {"mixture": jnp.zeros((1, 1, 16000)),
+         "condition": jnp.zeros((1, 512))}, train=False)
+    assert np.isfinite(np.asarray(out["waveform"])).all()
+
+
 def test_clap_text_conversion():
     import torch
     from transformers import RobertaConfig as HFConfig

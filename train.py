@@ -19,9 +19,13 @@ def main():
                         help="Optional step cap (smoke runs).")
     parser.add_argument("--model_parallel", type=int, default=1,
                         help="Tensor-parallel degree over the device mesh.")
+    parser.add_argument("--eval_indexes", type=str, default=None,
+                        help="DCASE eval CSV for periodic evaluation "
+                             "(every train.evaluate_step_frequency steps).")
+    parser.add_argument("--eval_audio_dir", type=str, default=None)
     args = parser.parse_args()
 
-    from lass_tpu.train.loop import Trainer
+    from lass_tpu.train.loop import Trainer, make_dcase_eval_hook
 
     trainer = Trainer(
         config_yaml=args.config_yaml,
@@ -30,7 +34,11 @@ def main():
         model_parallel=args.model_parallel,
         filename=pathlib.Path(__file__).stem,
     )
-    trainer.fit(max_steps=args.max_steps)
+    eval_hook = None
+    if args.eval_indexes and args.eval_audio_dir:
+        eval_hook = make_dcase_eval_hook(args.eval_indexes,
+                                         args.eval_audio_dir)
+    trainer.fit(max_steps=args.max_steps, eval_hook=eval_hook)
 
 
 if __name__ == "__main__":
