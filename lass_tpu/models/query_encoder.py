@@ -63,6 +63,31 @@ class CLAPQueryEncoder:
             lambda params, ids, mask: self.text_model.apply(
                 {"params": params}, ids, mask))
 
+    @classmethod
+    def from_npz(cls, path: str, htsat_cfg: Optional[Any] = None,
+                 **kwargs) -> "CLAPQueryEncoder":
+        """Build from a converted CLAP parameter pack
+        (scripts/convert_checkpoint.py --kind clap): wires the text branch
+        and, when present, the HTSAT audio branch."""
+        import jax.numpy as jnp_
+
+        from lass_tpu.convert.checkpoint_io import load_npz_variables
+
+        pack = load_npz_variables(path)
+        text_params = jax.tree_util.tree_map(
+            jnp_.asarray, pack["text"]["params"])
+        enc = cls(text_params=text_params, **kwargs)
+        if "audio" in pack:
+            audio_vars = {
+                "params": jax.tree_util.tree_map(
+                    jnp_.asarray, pack["audio"]["params"]),
+                "batch_stats": jax.tree_util.tree_map(
+                    jnp_.asarray, pack["audio"]["batch_stats"]),
+            }
+            enc.attach_audio_encoder(audio_params=audio_vars,
+                                     htsat_cfg=htsat_cfg)
+        return enc
+
     # -- modality paths ---------------------------------------------------
     def _get_text_embed(self, texts: Sequence[str]) -> jax.Array:
         tok = self.tokenizer(texts, max_length=self.max_length,

@@ -45,3 +45,38 @@ def test_hybrid_text_only_when_ratio_1(encoder):
 def test_audio_path_raises_without_htsat(encoder):
     with pytest.raises(NotImplementedError):
         encoder.get_query_embed("audio", audio=jnp.zeros((1, 32000)))
+
+
+def test_from_npz_text_pack(tmp_path):
+    """CLAPQueryEncoder.from_npz loads a converted text-branch pack and
+    reproduces the source model's embeddings."""
+    import jax
+    import numpy as np
+
+    from lass_tpu.models.clap.model import CLAPTextEncoder
+
+    enc_model = CLAPTextEncoder(SMALL)
+    ids = jnp.asarray([[0, 7, 9, 2]], jnp.int32)
+    params = enc_model.init(jax.random.PRNGKey(1), ids,
+                            jnp.ones_like(ids))["params"]
+    ref = np.asarray(enc_model.apply({"params": params}, ids,
+                                     jnp.ones_like(ids)))
+
+    # write the pack the way scripts/convert_checkpoint.py does
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_ckpt", "scripts/convert_checkpoint.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    payload = {f"text/params/{k}": v
+               for k, v in mod.flatten(
+                   jax.tree_util.tree_map(np.asarray, params)).items()}
+    pack = tmp_path / "clap.npz"
+    np.savez(pack, **payload)
+
+    enc = CLAPQueryEncoder.from_npz(str(pack), roberta_cfg=SMALL)
+    # embed via the raw jit path with the same ids
+    out = np.asarray(enc._jit_text(enc.text_params, ids,
+                                   jnp.ones_like(ids)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
