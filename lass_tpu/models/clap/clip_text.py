@@ -36,12 +36,17 @@ except ImportError:
     _ftfy = None
 
 
+# Unicode pattern (needs the `regex` module for \p classes) and an ASCII
+# fallback for plain `re`; identical on ASCII input (tests/test_clip_text.py).
+CLIP_PAT_UNICODE = (
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+    r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""")
+CLIP_PAT_ASCII = (
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+    r"""[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]+""")
+
 _CLIP_PAT = _re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
-    r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-    if hasattr(_re, "DEFAULT_VERSION") else
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
-    r"""[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]+",""",
+    CLIP_PAT_UNICODE if hasattr(_re, "DEFAULT_VERSION") else CLIP_PAT_ASCII,
     _re.IGNORECASE)
 
 

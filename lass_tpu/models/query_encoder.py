@@ -16,11 +16,14 @@ use_text_ratio=)`` -> (B, 512) normalized conditioning vectors.
 """
 from __future__ import annotations
 
+import logging
 from typing import Any, Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("lass_tpu.query_encoder")
 
 from lass_tpu.models.clap.model import CLAPTextEncoder
 from lass_tpu.models.clap.roberta import RobertaConfig
@@ -43,10 +46,17 @@ class CLAPQueryEncoder:
         rng_seed: int = 0,
     ):
         self.text_model = CLAPTextEncoder(roberta_cfg, joint_embed_dim)
+        self.has_pretrained_text = text_params is not None
         if text_params is None:
             dummy = jnp.zeros((1, 8), jnp.int32)
             text_params = self.text_model.init(
                 jax.random.PRNGKey(0), dummy, jnp.ones_like(dummy))["params"]
+            logger.warning(
+                "CLAPQueryEncoder built WITHOUT pretrained text weights — "
+                "conditioning embeddings are random-init RoBERTa. Training "
+                "or evaluating against these is meaningless; load a "
+                "converted CLAP pack (CLAPQueryEncoder.from_npz / "
+                "scripts/convert_checkpoint.py --kind clap).")
         self.text_params = text_params
         if tokenizer is None:
             try:
@@ -54,7 +64,15 @@ class CLAPQueryEncoder:
             except FileNotFoundError:
                 tokenizer = WhitespaceFallbackTokenizer(
                     roberta_cfg.vocab_size)
+                logger.warning(
+                    "RoBERTa BPE vocab assets not found — falling back to "
+                    "the hash-bucket whitespace tokenizer. Token ids will "
+                    "NOT match the reference tokenizer; set "
+                    "LASS_TPU_ROBERTA_VOCAB_DIR or pass tokenizer= "
+                    "explicitly.")
         self.tokenizer = tokenizer
+        self.using_fallback_tokenizer = isinstance(
+            tokenizer, WhitespaceFallbackTokenizer)
         self.max_length = max_length
         self.pad_to = pad_to
         self.audio_embed_fn = audio_embed_fn

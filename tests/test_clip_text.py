@@ -34,6 +34,26 @@ def test_tokenizer_merges_and_specials(bpe_path):
     assert eot_pos == 3  # sot, hello, world, eot
 
 
+def test_ascii_fallback_pattern_matches_unicode_pattern():
+    """The plain-`re` fallback regex must tokenize ASCII text identically to
+    the `regex`-module unicode pattern (it is what ships when `regex` is
+    absent)."""
+    import re
+
+    regex = pytest.importorskip("regex")
+    from lass_tpu.models.clap.clip_text import (
+        CLIP_PAT_ASCII, CLIP_PAT_UNICODE)
+
+    uni = regex.compile(CLIP_PAT_UNICODE, regex.IGNORECASE)
+    asc = re.compile(CLIP_PAT_ASCII, re.IGNORECASE)
+    corpus = [
+        "hello world", "it's 2024, isn't it?!", "<|startoftext|>a b<|endoftext|>",
+        "MIXED Case-Words... 123 #tags @x", "don't; we'll---see:42",
+    ]
+    for text in corpus:
+        assert uni.findall(text) == asc.findall(text), text
+
+
 def test_clip_transformer_forward_and_causality(rng):
     model = CLIPTextTransformer(vocab_size=100, width=16, heads=2, layers=2,
                                 context_length=12)

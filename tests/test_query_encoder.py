@@ -80,3 +80,27 @@ def test_from_npz_text_pack(tmp_path):
     out = np.asarray(enc._jit_text(enc.text_params, ids,
                                    jnp.ones_like(ids)))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_random_weights_warning(caplog):
+    """Building without pretrained text weights must emit a prominent
+    warning (silent random-conditioning trap, train/loop.py default)."""
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="lass_tpu.query_encoder"):
+        enc = CLAPQueryEncoder(roberta_cfg=SMALL)
+    assert not enc.has_pretrained_text
+    assert any("WITHOUT pretrained text weights" in r.message
+               for r in caplog.records)
+
+
+def test_no_warning_with_pretrained_params(caplog):
+    import logging
+
+    base = CLAPQueryEncoder(roberta_cfg=SMALL)
+    with caplog.at_level(logging.WARNING, logger="lass_tpu.query_encoder"):
+        caplog.clear()
+        enc = CLAPQueryEncoder(text_params=base.text_params,
+                               tokenizer=base.tokenizer, roberta_cfg=SMALL)
+    assert enc.has_pretrained_text
+    assert not any("WITHOUT pretrained" in r.message for r in caplog.records)
