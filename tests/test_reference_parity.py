@@ -1,0 +1,176 @@
+"""Full-model parity vs the ACTUAL reference implementation.
+
+Imports /root/reference's torch code (torchlibrosa stubbed on torch.stft —
+see tests/reference_loader.py), converts its randomly-initialized weights
+with the shipped converters, and asserts the JAX forward reproduces the
+torch forward end-to-end. This is the harness that catches converter or
+forward divergence that block-level oracles can miss (ResUNet30 whole
+pipeline incl. STFT/mask/ISTFT; HTSAT whole pipeline incl. mel front-end
+and reshape_wav2img; CLAP text branch at full roberta-base size).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from reference_loader import load_reference_htsat, load_reference_resunet
+
+from lass_tpu.convert.torch_to_jax import (
+    convert_clap_text_encoder,
+    convert_htsat,
+    convert_resunet30,
+)
+from lass_tpu.models.film import resunet30_film_spec
+
+
+def rel_err(ours: np.ndarray, ref: np.ndarray) -> float:
+    ref = np.asarray(ref, np.float64)
+    ours = np.asarray(ours, np.float64)
+    return float(np.linalg.norm(ours - ref) / (np.linalg.norm(ref) + 1e-20))
+
+
+# ---------------------------------------------------------------------------
+# ResUNet30: full waveform -> waveform separation forward
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def resunet_pair():
+    ref_mod = load_reference_resunet()
+    torch.manual_seed(0)
+    ref = ref_mod.ResUNet30(input_channels=1, output_channels=1,
+                            condition_size=512)
+    ref.eval()
+    variables = convert_resunet30(ref.state_dict(), resunet30_film_spec())
+    return ref, variables
+
+
+@pytest.mark.parametrize("freq_fold", [1, 4])
+def test_resunet30_full_forward_parity(resunet_pair, rng, freq_fold):
+    from lass_tpu.models.resunet import ResUNet30
+
+    ref, variables = resunet_pair
+    mixture = (rng.randn(2, 1, 16000) * 0.1).astype(np.float32)
+    condition = (rng.randn(2, 512) * 0.3).astype(np.float32)
+
+    with torch.no_grad():
+        out_ref = ref({"mixture": torch.from_numpy(mixture),
+                       "condition": torch.from_numpy(condition)})
+        wav_ref = out_ref["waveform"].numpy()
+
+    model = ResUNet30(freq_fold=freq_fold,
+                      dsp_precision=jax.lax.Precision.HIGHEST)
+    wav = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        {"mixture": jnp.asarray(mixture),
+         "condition": jnp.asarray(condition)}, train=False)["waveform"]
+
+    assert wav.shape == wav_ref.shape
+    assert rel_err(np.asarray(wav), wav_ref) <= 1e-4
+
+
+# ---------------------------------------------------------------------------
+# HTSAT: full waveform -> embedding/classification forward
+# ---------------------------------------------------------------------------
+
+class _AudioCfg:
+    model_name = "base"
+    sample_rate = 48000
+    window_size = 1024
+    hop_size = 480
+    mel_bins = 64
+    fmin = 50
+    fmax = 14000
+    class_num = 527
+
+
+@pytest.fixture(scope="module")
+def htsat_pair():
+    ref_mod = load_reference_htsat()
+    torch.manual_seed(0)
+    ref = ref_mod.HTSAT_Swin_Transformer(
+        spec_size=256, patch_size=4, patch_stride=(4, 4), num_classes=527,
+        embed_dim=128, depths=[2, 2, 12, 2], num_heads=[4, 8, 16, 32],
+        window_size=8, config=_AudioCfg(), enable_fusion=False)
+    ref.eval()
+    variables = convert_htsat(ref.state_dict())
+    return ref, variables
+
+
+def test_htsat_full_forward_parity(htsat_pair, rng):
+    from lass_tpu.models.clap.htsat import HTSAT
+
+    ref, variables = htsat_pair
+    wave = (rng.randn(2, 96000) * 0.1).astype(np.float32)
+
+    with torch.no_grad():
+        out_ref = ref({"waveform": torch.from_numpy(wave)})
+
+    model = HTSAT()
+    out = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(wave), train=False)
+
+    for key in ("embedding", "clipwise_output", "framewise_output",
+                "fine_grained_embedding"):
+        ref_v = out_ref[key].numpy()
+        ours = np.asarray(out[key])
+        assert ours.shape == ref_v.shape, (key, ours.shape, ref_v.shape)
+        assert rel_err(ours, ref_v) <= 1e-4, (key, rel_err(ours, ref_v))
+
+
+# ---------------------------------------------------------------------------
+# CLAP text branch at full roberta-base size
+# ---------------------------------------------------------------------------
+
+def test_clap_text_branch_full_size_parity(rng):
+    """Reference encode_text (model.py:658-665): roberta pooler_output ->
+    text_projection MLP -> F.normalize; ours via convert_clap_text_encoder
+    at real roberta-base dims."""
+    from transformers import RobertaConfig as HFConfig
+    from transformers import RobertaModel as HFModel
+
+    from lass_tpu.models.clap.model import CLAPTextEncoder
+
+    torch.manual_seed(0)
+    # real roberta-base dims (HFConfig's class default is 512 positions;
+    # the published roberta-base checkpoint uses 514)
+    hf = HFModel(HFConfig(max_position_embeddings=514, type_vocab_size=1))
+    hf.eval()
+
+    proj1 = torch.nn.Linear(768, 512)
+    proj2 = torch.nn.Linear(512, 512)
+
+    # assemble a CLAP-checkpoint-shaped state dict
+    sd = {}
+    for k, v in hf.state_dict().items():
+        sd[f"text_branch.{k}"] = v
+    for k, v in proj1.state_dict().items():
+        sd[f"text_projection.0.{k}"] = v
+    for k, v in proj2.state_dict().items():
+        sd[f"text_projection.2.{k}"] = v
+    params = convert_clap_text_encoder(sd, num_layers=12)
+
+    ids = rng.randint(3, 50000, size=(2, 12)).astype(np.int32)
+    ids[1, 8:] = 1  # roberta pad token
+    mask = (ids != 1).astype(np.int32)
+
+    with torch.no_grad():
+        pooled = hf(input_ids=torch.from_numpy(ids).long(),
+                    attention_mask=torch.from_numpy(mask).long()
+                    ).pooler_output
+        ref = proj2(torch.relu(proj1(pooled)))
+        ref = torch.nn.functional.normalize(ref, dim=-1).numpy()
+
+    model = CLAPTextEncoder()
+    ours = model.apply({"params": params}, jnp.asarray(ids),
+                       jnp.asarray(mask))
+
+    assert ours.shape == ref.shape
+    # 5e-4: f32 accumulation-order differences (oneDNN vs XLA:CPU) across
+    # 12 layers of 768-d matmuls with random-init weights; the small-size
+    # exact-mapping parity is pinned tighter in tests/test_roberta.py
+    assert rel_err(np.asarray(ours), ref) <= 5e-4
