@@ -54,13 +54,19 @@ class DCASEEvaluator:
     def __init__(self, sampling_rate: int = 16000,
                  eval_indexes: str = "lass_synthetic_validation.csv",
                  audio_dir: str = "lass_validation",
-                 batch_size: int = 16):
+                 batch_size: int = 16,
+                 pad_seconds: float = 10.0):
         self.sampling_rate = sampling_rate
         with open(eval_indexes) as f:
             rows = list(csv.reader(f))[1:]
         self.eval_list = rows
         self.audio_dir = audio_dir
         self.batch_size = batch_size
+        # Every forward runs at ONE static shape: (batch_size, 1, fixed_len).
+        # DCASE clips are fixed 10 s; a longer clip bumps fixed_len (sticky,
+        # hop-rounded) so heterogeneous sets cost at most a few recompiles
+        # instead of one per batch — recompiles are 2-5 min on axon.
+        self._fixed_len = int(round(sampling_rate * pad_seconds))
 
     def __call__(self, pl_model) -> Tuple[float, float, float]:
         """pl_model: object with .query_encoder.get_query_embed and
@@ -87,12 +93,19 @@ class DCASEEvaluator:
 
             lengths = [len(m) for m in mixtures]
             max_len = max(lengths)
-            batch = np.zeros((len(rows), 1, max_len), np.float32)
+            if max_len > self._fixed_len:
+                self._fixed_len = -(-max_len // 160) * 160
+            batch = np.zeros((self.batch_size, 1, self._fixed_len),
+                             np.float32)
             for i, m in enumerate(mixtures):
                 batch[i, 0, :len(m)] = m
+            # pad the caption list so the ragged final batch reuses the
+            # same compiled (batch_size, ...) shapes
+            padded_captions = captions + [captions[0]] * (self.batch_size
+                                                          - len(captions))
 
             conditions = pl_model.query_encoder.get_query_embed(
-                modality="text", text=captions)
+                modality="text", text=padded_captions)
             separated = np.asarray(
                 pl_model.separate(batch, np.asarray(conditions)))
 

@@ -28,6 +28,7 @@ folding happens at apply time — so checkpoints/converters are oblivious.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -36,6 +37,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from lass_tpu.nn.layers import BatchNorm, leaky_relu, xavier_uniform
+
+# Opt-in fused Pallas conv-block (read ONCE at import; trace-time env reads
+# are a footgun if the flag flips between traces of the same program)
+_FUSED_CONV_BLOCK = os.environ.get("LASS_TPU_FUSED_CONV_BLOCK") == "1"
+
 
 
 def fold_freq(x: jax.Array, s: int) -> jax.Array:
@@ -197,10 +203,10 @@ class FoldedConvBlockRes(nn.Module):
         # Fused-kernel path: measured SLOWER than XLA's conv fusions on
         # v5e (110 ms vs 83 ms per 16-clip forward — the halo-window
         # materialization and 34x128 @ 128x128 per-tile matmuls lose to
-        # XLA's pipelined convolutions), so it is opt-in for now.
-        import os
-
-        if (os.environ.get("LASS_TPU_FUSED_CONV_BLOCK") == "1"
+        # XLA's pipelined convolutions), so it is opt-in for now. The flag
+        # is latched at import (module constant) so it cannot flip between
+        # traces of the same program.
+        if (_FUSED_CONV_BLOCK
                 and not train and groups is None
                 and self.in_channels == self.out_channels
                 and self.kernel_size == (3, 3)

@@ -143,6 +143,13 @@ class Trainer:
         self.batch_shard = batch_sharding(self.mesh)
         self.rep = rep
         self._step_fn = jax.jit(self.task.train_step, donate_argnums=(0,))
+        # hybrid/audio conditioning: the query encoder must see the MIXED,
+        # declip-rescaled segments (reference audiosep.py:77-88 embeds
+        # segments AFTER the mixer), so mixing runs in its own jit and the
+        # step consumes the premixed batch.
+        self._mix_fn = jax.jit(self.task.mix)
+        self._premixed_fn = jax.jit(self.task.train_step_premixed,
+                                    donate_argnums=(0,))
 
     def fit(self, max_steps: Optional[int] = None,
             eval_hook: Optional[callable] = None) -> TrainState:
@@ -162,18 +169,38 @@ class Trainer:
         with self.mesh:
             for batch in self.datamodule.train_dataloader():
                 at = batch["audio_text"]
-                condition = self.query_encoder.get_query_embed(
-                    "hybird", text=at["text"],
-                    audio=None if self.use_text_ratio >= 1.0
-                    else at["waveform"][:, 0],
-                    use_text_ratio=self.use_text_ratio)
-                data = {
-                    "waveform": jax.device_put(
-                        jnp.asarray(at["waveform"]), self.batch_shard),
-                    "condition": jax.device_put(
-                        jnp.asarray(condition), self.batch_shard),
-                }
-                self.state, metrics = self._step_fn(self.state, data, rng)
+                if self.use_text_ratio >= 1.0:
+                    # text-only (baseline config): mixing fuses into the
+                    # train step, nothing round-trips to the host
+                    condition = self.query_encoder.get_query_embed(
+                        "hybird", text=at["text"], audio=None,
+                        use_text_ratio=self.use_text_ratio)
+                    data = {
+                        "waveform": jax.device_put(
+                            jnp.asarray(at["waveform"]), self.batch_shard),
+                        "condition": jax.device_put(
+                            jnp.asarray(condition), self.batch_shard),
+                    }
+                    self.state, metrics = self._step_fn(self.state, data,
+                                                        rng)
+                else:
+                    # hybrid: mix first (same fold_in(rng, step) key the
+                    # fused path would use), embed the mixed segments
+                    # (reference audiosep.py:77-88), then step premixed
+                    waveform = jax.device_put(
+                        jnp.asarray(at["waveform"]), self.batch_shard)
+                    mixtures, segments = self._mix_fn(waveform, rng,
+                                                      self.state.step)
+                    condition = self.query_encoder.get_query_embed(
+                        "hybird", text=at["text"], audio=segments[:, 0],
+                        use_text_ratio=self.use_text_ratio)
+                    data = {
+                        "mixture": mixtures,
+                        "segment": segments,
+                        "condition": jax.device_put(
+                            jnp.asarray(condition), self.batch_shard),
+                    }
+                    self.state, metrics = self._premixed_fn(self.state, data)
                 step = int(self.state.step)
                 if step % log_every == 0 or step == 1:
                     loss = float(metrics["train_loss"])

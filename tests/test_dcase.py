@@ -128,3 +128,38 @@ def test_evaluator_oracle_model(eval_set, rng):
 
     sisdr, sdri, sdr = evaluator(Oracle())
     assert sdr > 80 and sdri > 80
+
+
+def test_evaluator_single_static_shape(tmp_path, rng):
+    """Heterogeneous clip lengths + a ragged final batch must all hit ONE
+    (batch_size, 1, fixed_len) forward shape (axon recompiles are 2-5 min
+    per new shape)."""
+    names = []
+    for i, n_samples in enumerate([12800, 16000, 9600]):
+        for kind in ["src", "noise"]:
+            write_wav(str(tmp_path / f"{kind}{i}.wav"),
+                      rng.randn(1, n_samples).astype(np.float32) * 0.1,
+                      16000)
+        names.append((f"src{i}", f"noise{i}"))
+    csv_path = tmp_path / "eval.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["source", "noise", "snr", "caption"])
+        for i, (s, n) in enumerate(names):
+            w.writerow([s, n, "0", f"caption {i}"])
+
+    class ShapeRecordingModel(IdentityModel):
+        shapes = []
+
+        def separate(self, mixtures, conditions):
+            self.shapes.append((mixtures.shape, conditions.shape))
+            return mixtures
+
+    model = ShapeRecordingModel()
+    evaluator = DCASEEvaluator(16000, str(csv_path), str(tmp_path),
+                               batch_size=2, pad_seconds=1.0)
+    sisdr, sdri, sdr = evaluator(model)
+    np.testing.assert_allclose(sdri, 0.0, atol=1e-5)
+    assert len(model.shapes) == 2  # 3 rows, batch 2 -> full + ragged batch
+    assert len(set(model.shapes)) == 1, model.shapes
+    assert model.shapes[0][0] == (2, 1, 16000)

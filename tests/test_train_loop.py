@@ -131,3 +131,126 @@ def test_trainer_resume(workspace):
         query_encoder=small_query_encoder(),
     )
     assert int(trainer.state.step) >= 1
+
+
+def test_trainer_hybrid_embeds_mixed_segments(workspace):
+    """Hybrid conditioning must embed the MIXED, declip-rescaled segments
+    (reference audiosep.py:77-88 passes segments AFTER the mixer), not the
+    raw pre-mix waveforms."""
+    from lass_tpu.train.loop import Trainer
+
+    root, config = workspace
+    hybrid_cfg = root / "config_hybrid.yaml"
+    hybrid_cfg.write_text(config.read_text().replace(
+        "use_text_ratio: 1.0", "use_text_ratio: 0.0"))
+
+    class RecordingEncoder:
+        encoder_type = "CLAP"
+
+        def __init__(self):
+            self.received_audio = None
+
+        def get_query_embed(self, modality, audio=None, text=None,
+                            use_text_ratio=0.5, **kw):
+            assert modality == "hybird"
+            assert audio is not None  # ratio 0.0 -> always audio branch
+            self.received_audio = np.asarray(audio)
+            rng = np.random.RandomState(0)
+            e = rng.randn(self.received_audio.shape[0], 512)
+            return jax.numpy.asarray(
+                e / np.linalg.norm(e, axis=-1, keepdims=True))
+
+    encoder = RecordingEncoder()
+    trainer = Trainer(
+        config_yaml=str(hybrid_cfg),
+        workspace=str(root / "out_hybrid"),
+        query_encoder=encoder,
+    )
+
+    rec = {}
+    orig_mix = trainer._mix_fn
+
+    def spy_mix(waveform, rng, step):
+        mixtures, segments = orig_mix(waveform, rng, step)
+        rec["waveform"] = np.asarray(waveform)
+        rec["segments"] = np.asarray(segments)
+        return mixtures, segments
+
+    trainer._mix_fn = spy_mix
+    state = trainer.fit(max_steps=1)
+    assert int(state.step) == 1
+
+    got = encoder.received_audio
+    assert got is not None and got.shape == rec["segments"][:, 0].shape
+    np.testing.assert_allclose(got, rec["segments"][:, 0], atol=1e-6)
+    # and they differ from the raw pre-mix waveforms (declip/energy scaling)
+    assert not np.allclose(got, rec["waveform"][:, 0], atol=1e-6)
+
+
+def test_resume_roundtrip_bit_consistent(tmp_path):
+    """Save at step N, restore into a fresh state template, continue on the
+    SAME batches: step counter, optimizer state, and loss trajectory must
+    be identical to an uninterrupted run (VERDICT r1 item 10)."""
+    import jax.numpy as jnp
+
+    from lass_tpu.data.mixer import SegmentMixer
+    from lass_tpu.models.resunet import ResUNet30
+    from lass_tpu.tasks.audiosep import AudioSepTask
+    from lass_tpu.train.checkpoint import CheckpointManager
+    from lass_tpu.train.optim import build_optimizer
+
+    def make_task():
+        return AudioSepTask(
+            model=ResUNet30(compute_dtype=jnp.float32),
+            mixer=SegmentMixer(2, -10, 10),
+            optimizer=build_optimizer("AdamW", 1e-3, "constant_warm_up",
+                                      100, 1000),
+        )
+
+    rng = np.random.RandomState(7)
+    batches = [
+        {"waveform": jnp.asarray(rng.randn(2, 1, 16000) * 0.1,
+                                 jnp.float32),
+         "condition": jnp.asarray(rng.randn(2, 512) * 0.3, jnp.float32)}
+        for _ in range(4)
+    ]
+    key = jax.random.PRNGKey(3)
+
+    task = make_task()
+    step_fn = jax.jit(task.train_step)
+
+    # uninterrupted run: 4 steps
+    state = task.init_state(jax.random.PRNGKey(0), 16000)
+    losses_full = []
+    for b in batches:
+        state, metrics = step_fn(state, b, key)
+        losses_full.append(float(metrics["train_loss"]))
+    final_full = state
+
+    # interrupted run: 2 steps, save, restore into a FRESH template, 2 more
+    state = task.init_state(jax.random.PRNGKey(0), 16000)
+    losses_a = []
+    for b in batches[:2]:
+        state, metrics = step_fn(state, b, key)
+        losses_a.append(float(metrics["train_loss"]))
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"), save_step_frequency=2)
+    ckpt.save(2, state)
+    ckpt.wait()
+
+    task2 = make_task()
+    template = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        task2.init_state(jax.random.PRNGKey(99), 16000))
+    restored = CheckpointManager(str(tmp_path / "ckpt")).restore(template)
+    assert int(restored.step) == 2
+    step_fn2 = jax.jit(task2.train_step)
+    losses_b = []
+    for b in batches[2:]:
+        restored, metrics = step_fn2(restored, b, key)
+        losses_b.append(float(metrics["train_loss"]))
+
+    np.testing.assert_array_equal(losses_a + losses_b, losses_full)
+    assert int(restored.step) == int(final_full.step) == 4
+    for got, want in zip(jax.tree_util.tree_leaves(restored),
+                         jax.tree_util.tree_leaves(final_full)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
