@@ -193,11 +193,55 @@ def convert_hf_roberta_state(sd: StateDict, num_layers: int
     return params
 
 
+def _dense_from_conv1x1(w: Array) -> Array:
+    """torch Conv1d k=1 (O, I, 1) or Conv2d 1x1 (O, I, 1, 1) -> Dense
+    kernel (I, O)."""
+    return _t(w.reshape(w.shape[0], w.shape[1]))
+
+
+def _att_branch(sd: StateDict, prefix: str, conv_idx, bn_idx
+                ) -> Tuple[Dict, Dict]:
+    """AFF/iAFF attention branch: Sequential(Conv, BN, ReLU, Conv, BN)
+    (feature_fusion.py:34-49 1D / :71-87 2D; global variants have a
+    leading AdaptiveAvgPool shifting the indices)."""
+    p_bn1, s_bn1 = _bn(sd, f"{prefix}.{bn_idx[0]}")
+    p_bn2, s_bn2 = _bn(sd, f"{prefix}.{bn_idx[1]}")
+    params = {
+        "fc1": {"kernel": _dense_from_conv1x1(
+                    sd[f"{prefix}.{conv_idx[0]}.weight"]),
+                "bias": sd[f"{prefix}.{conv_idx[0]}.bias"]},
+        "fc2": {"kernel": _dense_from_conv1x1(
+                    sd[f"{prefix}.{conv_idx[1]}.weight"]),
+                "bias": sd[f"{prefix}.{conv_idx[1]}.bias"]},
+        "bn1": p_bn1, "bn2": p_bn2,
+    }
+    return params, {"bn1": s_bn1, "bn2": s_bn2}
+
+
+def _fusion_model(sd: StateDict, prefix: str) -> Tuple[Dict, Dict]:
+    """AFF/iAFF params (DAF has none). local_att indices (0,3)/(1,4);
+    global_att has the AvgPool at 0 so (1,4)/(2,5). iAFF adds local_att2;
+    its global_att2 exists in checkpoints but the reference forward reuses
+    global_att (feature_fusion.py:124) so it is intentionally dropped."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    branches = [("local_att", (0, 3), (1, 4)),
+                ("global_att", (1, 4), (2, 5))]
+    if f"{prefix}.local_att2.0.weight" in sd:
+        branches.append(("local_att2", (0, 3), (1, 4)))
+    for name, conv_idx, bn_idx in branches:
+        p, s = _att_branch(sd, f"{prefix}.{name}", conv_idx, bn_idx)
+        params[name], stats[name] = p, s
+    return params, stats
+
+
 def convert_htsat(sd: StateDict, depths=(2, 2, 12, 2)) -> Dict[str, Any]:
     """HTSAT state dict (audio_branch.* stripped) -> lass_tpu HTSAT params
     + batch_stats. Skips the front-end torchlibrosa conv weights (we
     synthesize exact DFT/mel bases) and the unused classification `head`
-    Linear (the embedding path never touches it, htsat.py:1040-1060)."""
+    Linear (the embedding path never touches it, htsat.py:1040-1060).
+    Fusion variants (mel_conv1d/mel_conv2d/fusion_model, reference
+    htsat.py:116-150, :979-991) are mapped when present."""
     sd = to_numpy_state_dict(sd)
     p_bn0, s_bn0 = _bn(sd, "bn0")
     params: Dict[str, Any] = {
@@ -209,6 +253,23 @@ def convert_htsat(sd: StateDict, depths=(2, 2, 12, 2)) -> Dict[str, Any]:
         "tscam_conv": _conv_layer(sd, "tscam_conv"),
     }
     stats: Dict[str, Any] = {"bn0": s_bn0}
+
+    # fusion variants (present only for enable_fusion checkpoints)
+    if "mel_conv1d.0.weight" in sd:  # Conv1d(64,64,k5,s3) + BatchNorm1d
+        params["mel_conv1d"] = {
+            "kernel": np.ascontiguousarray(
+                np.transpose(sd["mel_conv1d.0.weight"], (2, 1, 0))),
+            "bias": sd["mel_conv1d.0.bias"],
+        }
+        p, s = _bn(sd, "mel_conv1d.1")
+        params["mel_conv1d_bn"], stats["mel_conv1d_bn"] = p, s
+    if "patch_embed.mel_conv2d.weight" in sd:
+        params["mel_conv2d"] = _conv_layer(sd, "patch_embed.mel_conv2d")
+    for fusion_prefix in ("fusion_model", "patch_embed.fusion_model"):
+        if f"{fusion_prefix}.local_att.0.weight" in sd:
+            p, s = _fusion_model(sd, fusion_prefix)
+            params["fusion_model"], stats["fusion_model"] = p, s
+
     for i, depth in enumerate(depths):
         for j in range(depth):
             b = f"layers.{i}.blocks.{j}"

@@ -85,6 +85,31 @@ class LogMelConfig:
         return STFTConfig(n_fft=self.n_fft, hop_length=self.hop_length)
 
 
+def log_mel_spectrogram_np(x: np.ndarray, cfg: LogMelConfig = LogMelConfig()
+                           ) -> np.ndarray:
+    """Host/numpy log-mel for variable-length feature building (the fusion
+    mel stack is assembled host-side; per-length jit recompiles would cost
+    minutes on axon). Same math as log_mel_spectrogram: center reflect pad,
+    periodic hann, rfft power, slaney filterbank, dB."""
+    x = np.asarray(x, np.float64)
+    n, hop = cfg.n_fft, cfg.hop_length
+    pad = n // 2
+    xp = np.pad(x, (pad, pad), mode="reflect")
+    frames = 1 + len(x) // hop
+    k = np.arange(n)
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * k / n))  # periodic hann
+    idx = (np.arange(frames) * hop)[:, None] + k[None, :]
+    spec = np.fft.rfft(xp[idx] * w, axis=-1)
+    power = spec.real ** 2 + spec.imag ** 2
+    mel = power @ mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels,
+                                 cfg.fmin, cfg.fmax).astype(np.float64)
+    db = 10.0 * np.log10(np.maximum(mel, cfg.amin))
+    db = db - 10.0 * np.log10(max(cfg.amin, cfg.ref))
+    if cfg.top_db is not None:
+        db = np.maximum(db, db.max() - cfg.top_db)
+    return db.astype(np.float32)
+
+
 def log_mel_spectrogram(x: jax.Array, cfg: LogMelConfig = LogMelConfig(),
                         *, precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """(..., L) -> (..., T, n_mels) log-mel in dB."""

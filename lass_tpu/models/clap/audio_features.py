@@ -55,6 +55,39 @@ def prepare_audio(
     return out
 
 
+def prepare_audio_fusion(
+    waveform: np.ndarray,
+    max_len: int = 480000,
+    data_filling: str = "repeatpad",
+    mel_cfg=None,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, bool, np.ndarray]:
+    """(L,) -> (mel_fusion (4, chunk_frames, n_mels), longer, audio
+    (max_len,)) — the 'fusion' branch of get_audio_features
+    (training/data.py:467-563): long clips yield 3 random mel chunks + the
+    resized global mel and a random audio crop; short/equal clips are
+    filled and their whole mel is stacked 4x with longer=False."""
+    from lass_tpu.dsp.mel import LogMelConfig, log_mel_spectrogram_np
+    from lass_tpu.models.clap.fusion import build_mel_fusion
+
+    mel_cfg = mel_cfg or LogMelConfig()
+    rng = rng or np.random.default_rng()
+    waveform = np.asarray(waveform, np.float32)
+    n = len(waveform)
+    chunk_frames = max_len // mel_cfg.hop_length + 1
+    if n > max_len:
+        mel = log_mel_spectrogram_np(waveform, mel_cfg)
+        mel_fusion, longer = build_mel_fusion(mel, chunk_frames, rng)
+        start = int(rng.integers(0, n - max_len + 1))
+        audio = waveform[start:start + max_len]
+    else:
+        audio = prepare_audio(waveform, max_len, data_filling)
+        mel = log_mel_spectrogram_np(audio, mel_cfg)
+        mel_fusion = np.stack([mel, mel, mel, mel]).astype(np.float32)
+        longer = False
+    return mel_fusion, longer, audio
+
+
 def prepare_audio_batch(waveforms: np.ndarray, max_len: int = 480000,
                         data_filling: str = "repeatpad") -> np.ndarray:
     """(B, L) fixed-length batch -> (B, max_len)."""

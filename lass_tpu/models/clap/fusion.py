@@ -109,8 +109,11 @@ def build_mel_fusion(mel: np.ndarray, chunk_frames: int,
     for part in ranges:
         picks.append(int(rng.choice(part)) if len(part) else 0)
     chunks = [mel[p:p + chunk_frames] for p in picks]
-    # global shrink via linear interpolation over time
-    src = np.linspace(0, total - 1, chunk_frames)
+    # global shrink: bilinear over time, align_corners=False — the exact
+    # sampling of torchvision.transforms.Resize (training/data.py:507) when
+    # the mel-bin axis is size-preserving
+    src = (np.arange(chunk_frames) + 0.5) * (total / chunk_frames) - 0.5
+    src = np.clip(src, 0.0, total - 1)
     lo = np.floor(src).astype(int)
     hi = np.minimum(lo + 1, total - 1)
     frac = (src - lo)[:, None]

@@ -46,6 +46,11 @@ class HTSATConfig:
     window_size: int = 8
     mlp_ratio: float = 4.0
     mel: LogMelConfig = LogMelConfig()
+    # long-audio mel fusion (reference htsat.py:116-150, :979-991,
+    # :1150-1207): input becomes a (B, 4, T, n_mels) stack of 3 random mel
+    # chunks + the resized global mel, plus a (B,) `longer` flag
+    enable_fusion: bool = False
+    fusion_type: str = "None"  # daf/aff/iaff x _1d/_2d, or channel_map
 
     @property
     def freq_ratio(self) -> int:
@@ -243,31 +248,66 @@ class PatchMerging(nn.Module):
 
 class HTSAT(nn.Module):
     """waveform (B, L) at 48 kHz -> {'embedding': (B, num_features),
-    'clipwise_output', 'framewise_output', 'fine_grained_embedding'}."""
+    'clipwise_output', 'framewise_output', 'fine_grained_embedding'}.
+
+    With cfg.enable_fusion, call with keyword inputs instead:
+    ``mel_fusion`` (B, 4, T, n_mels) + ``longer`` (B,) bool — the
+    get_audio_features 'fusion' stack (reference htsat.py:1150-1207).
+    TPU-first: the local branch is computed for ALL items and selected
+    with jnp.where(longer) — no data-dependent gather (exact in eval mode,
+    where the reference's in-place indexing semantics coincide)."""
 
     cfg: HTSATConfig = HTSATConfig()
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, waveform: jax.Array, train: bool = False):
+    def __call__(self, waveform: Optional[jax.Array] = None,
+                 train: bool = False, *,
+                 mel_fusion: Optional[jax.Array] = None,
+                 longer: Optional[jax.Array] = None):
         cfg = self.cfg
         from lass_tpu.nn.layers import BatchNorm
 
-        mel = log_mel_spectrogram(waveform, cfg.mel)  # (B, T, n_mels)
-        mel = BatchNorm(cfg.mel.n_mels, name="bn0")(mel, train)
+        fusion_2d = cfg.enable_fusion and cfg.fusion_type in (
+            "daf_2d", "aff_2d", "iaff_2d")
+        fusion_1d = cfg.enable_fusion and cfg.fusion_type in (
+            "daf_1d", "aff_1d", "iaff_1d")
 
-        if train:
-            mel = _spec_augment(mel, self.make_rng("specaug"))
-
-        x = self._reshape_wav2img(mel)  # (B, S, S, 1)
+        if cfg.enable_fusion:
+            if mel_fusion is None or longer is None:
+                raise ValueError("fusion-enabled HTSAT takes "
+                                 "mel_fusion=(B,4,T,M) and longer=(B,)")
+            mel4 = mel_fusion.astype(jnp.float32)  # (B, 4, T, M)
+            mel4 = BatchNorm(cfg.mel.n_mels, name="bn0")(mel4, train)
+            if fusion_1d:
+                mel = self._fuse_1d(mel4, longer, train)  # (B, T, M)
+                if train:
+                    mel = _spec_augment(mel, self.make_rng("specaug"))
+                x = self._reshape_wav2img(mel)  # (B, S, S, 1)
+            else:  # 2d families / channel_map keep the 4-channel stack
+                if train:
+                    mel4 = _spec_augment(mel4, self.make_rng("specaug"))
+                x = self._reshape_wav2img_multi(mel4)  # (B, S, S, 4)
+        else:
+            mel = log_mel_spectrogram(waveform, cfg.mel)  # (B, T, n_mels)
+            mel = BatchNorm(cfg.mel.n_mels, name="bn0")(mel, train)
+            if train:
+                mel = _spec_augment(mel, self.make_rng("specaug"))
+            x = self._reshape_wav2img(mel)  # (B, S, S, 1)
         frames_num = x.shape[1]
 
-        # patch embed: conv p x p stride p
+        # patch embed: conv p x p stride p (fusion variants:
+        # reference htsat.py:116-202 PatchEmbed)
         grid = cfg.spec_size // cfg.patch_stride
-        x = nn.Conv(cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_stride, cfg.patch_stride),
-                    padding="VALID", dtype=self.dtype,
-                    name="patch_embed_proj")(x.astype(self.dtype))
+        proj = nn.Conv(cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
+                       strides=(cfg.patch_stride, cfg.patch_stride),
+                       padding="VALID", dtype=self.dtype,
+                       name="patch_embed_proj")
+        if fusion_2d:
+            x = self._patch_embed_fused_2d(x, longer, proj, train)
+        else:
+            # channel_map feeds all 4 channels straight into proj
+            x = proj(x.astype(self.dtype))
         x = x.reshape(x.shape[0], grid * grid, cfg.embed_dim)
         x = nn.LayerNorm(dtype=self.dtype, name="patch_embed_norm")(x)
 
@@ -343,13 +383,109 @@ class HTSAT(nn.Module):
                       target_t // cfg.freq_ratio)
         return x[..., None]
 
+    def _reshape_wav2img_multi(self, mel4: jax.Array) -> jax.Array:
+        """(B, C, T, F) -> (B, S, S, C): the reference applies
+        reshape_wav2img per channel (htsat.py:1076-1103 operates on BCTF)."""
+        b, c = mel4.shape[0], mel4.shape[1]
+        flat = mel4.reshape(b * c, mel4.shape[2], mel4.shape[3])
+        img = self._reshape_wav2img(flat)[..., 0]  # (B*C, S, S)
+        s1, s2 = img.shape[1], img.shape[2]
+        return img.reshape(b, c, s1, s2).transpose(0, 2, 3, 1)
+
+    def _fuse_1d(self, mel4: jax.Array, longer: jax.Array, train: bool
+                 ) -> jax.Array:
+        """1D mel fusion (reference htsat.py:1157-1196): channel 0 is the
+        global mel; channels 1:4 go through mel_conv1d (stride-3 conv + BN)
+        and are time-concatenated, then attention-fused into the global."""
+        from lass_tpu.models.clap.fusion import AFF, DAF, iAFF
+        from lass_tpu.nn.layers import BatchNorm
+
+        cfg = self.cfg
+        b, _, t, f = mel4.shape
+        glob = mel4[:, 0]  # (B, T, F)
+        local = mel4[:, 1:].reshape(b * 3, t, f)
+        h = nn.Conv(f, (5,), strides=(3,), padding=[(2, 2)],
+                    name="mel_conv1d")(local)
+        # torch mel_conv1d = Conv1d + BatchNorm1d (momentum 0.1 default)
+        h = BatchNorm(f, momentum=0.1, name="mel_conv1d_bn")(h, train)
+        t2 = h.shape[1]
+        h = h.reshape(b, 3 * t2, f)
+        if 3 * t2 >= t:
+            h = h[:, :t]
+        else:
+            h = jnp.pad(h, ((0, 0), (0, t - 3 * t2), (0, 0)))
+        fused = self._fusion_block(f)(glob, h, train)
+        return jnp.where(longer[:, None, None], fused, glob)
+
+    def _patch_embed_fused_2d(self, x: jax.Array, longer: jax.Array,
+                              proj: nn.Module, train: bool) -> jax.Array:
+        """2D patch-embed fusion (reference htsat.py:151-190): global
+        channel through proj; local channels through a (p, 3p)-stride conv,
+        width-concatenated, zero-padded to the global width, fused."""
+        cfg = self.cfg
+        b = x.shape[0]
+        glob = proj(x[..., 0:1].astype(self.dtype))  # (B, gh, gw, E)
+        loc = jnp.moveaxis(x[..., 1:4], -1, 1)  # (B, 3, S, S)
+        loc = loc.reshape(b * 3, x.shape[1], x.shape[2], 1)
+        loc = nn.Conv(cfg.embed_dim,
+                      (cfg.patch_size, cfg.patch_size * 3),
+                      strides=(cfg.patch_stride, cfg.patch_stride * 3),
+                      padding="VALID", dtype=self.dtype,
+                      name="mel_conv2d")(loc.astype(self.dtype))
+        th, tw = loc.shape[1], loc.shape[2]
+        # chunk-major width concat (reference permute(0,2,3,1,4).flatten(3))
+        loc = loc.reshape(b, 3, th, tw, cfg.embed_dim)
+        loc = loc.transpose(0, 2, 1, 3, 4).reshape(b, th, 3 * tw,
+                                                   cfg.embed_dim)
+        gw = glob.shape[2]
+        if 3 * tw >= gw:
+            loc = loc[:, :, :gw]
+        else:
+            loc = jnp.pad(loc, ((0, 0), (0, 0), (0, gw - 3 * tw), (0, 0)))
+        fused = self._fusion_block(cfg.embed_dim)(
+            glob.astype(jnp.float32), loc.astype(jnp.float32), train)
+        return jnp.where(longer[:, None, None, None], fused,
+                         glob.astype(jnp.float32)).astype(self.dtype)
+
+    def _fusion_block(self, channels: int):
+        from lass_tpu.models.clap.fusion import AFF, DAF, iAFF
+
+        kind = self.cfg.fusion_type.split("_")[0]
+        if kind == "daf":
+            return DAF(name="fusion_model")
+        if kind == "aff":
+            return AFF(channels=channels, name="fusion_model")
+        if kind == "iaff":
+            return iAFF(channels=channels, name="fusion_model")
+        raise NotImplementedError(self.cfg.fusion_type)
+
 
 def _spec_augment(mel: jax.Array, rng: jax.Array,
                   time_drop_width: int = 64, time_stripes: int = 2,
                   freq_drop_width: int = 8, freq_stripes: int = 2
                   ) -> jax.Array:
     """torchlibrosa SpecAugmentation equivalent (train only,
-    htsat.py:896-901): random zeroed time/freq stripes."""
+    htsat.py:896-901): random zeroed time/freq stripes. Accepts (B, T, F)
+    or (B, C, T, F) — stripes are shared across channels, as torchlibrosa
+    DropStripes broadcasts over the channel dim."""
+    if mel.ndim == 4:
+        b, c, t, f = mel.shape
+        keys = jax.random.split(rng, 4)
+
+        def stripe_mask4(key_pos, key_len, size, width, count):
+            starts = jax.random.randint(key_pos, (b, count), 0,
+                                        max(size - width, 1))
+            lengths = jax.random.randint(key_len, (b, count), 0, width + 1)
+            idx = jnp.arange(size)[None, None, :]
+            hit = (idx >= starts[..., None]) & (
+                idx < (starts + lengths)[..., None])
+            return ~jnp.any(hit, axis=1)
+
+        tmask = stripe_mask4(keys[0], keys[1], t, time_drop_width,
+                             time_stripes)
+        fmask = stripe_mask4(keys[2], keys[3], f, freq_drop_width,
+                             freq_stripes)
+        return mel * tmask[:, None, :, None] * fmask[:, None, None, :]
     b, t, f = mel.shape
     keys = jax.random.split(rng, 4)
 

@@ -53,18 +53,25 @@ class CLAPTextEncoder(nn.Module):
 class CLAPAudioEncoder(nn.Module):
     """48 kHz waveform (B, L) -> normalized 512-d joint embedding:
     HTSAT 'embedding' + audio_projection MLP + normalize
-    (model.py:754-781 get_audio_embedding over the HTSAT branch)."""
+    (model.py:754-781 get_audio_embedding over the HTSAT branch).
+
+    Fusion-enabled configs take ``mel_fusion`` (B, 4, T, n_mels) +
+    ``longer`` (B,) instead of a waveform (htsat.py:1150-1207)."""
 
     htsat_cfg: Any = None  # HTSATConfig; None -> base
     joint_embed_dim: int = 512
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, waveform: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, waveform: Optional[jax.Array] = None,
+                 train: bool = False, *,
+                 mel_fusion: Optional[jax.Array] = None,
+                 longer: Optional[jax.Array] = None) -> jax.Array:
         from lass_tpu.models.clap.htsat import HTSAT, HTSATConfig
 
         cfg = self.htsat_cfg or HTSATConfig()
-        out = HTSAT(cfg, self.dtype, name="audio_branch")(waveform, train)
+        out = HTSAT(cfg, self.dtype, name="audio_branch")(
+            waveform, train, mel_fusion=mel_fusion, longer=longer)
         proj = MLPProjection(self.joint_embed_dim, self.dtype,
                              name="audio_projection")(out["embedding"])
         norm = jnp.linalg.norm(proj, axis=-1, keepdims=True)

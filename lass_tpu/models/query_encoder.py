@@ -135,10 +135,45 @@ class CLAPQueryEncoder:
         import numpy as np
 
         from lass_tpu.audio.resample import resample
-        from lass_tpu.models.clap.audio_features import prepare_audio_batch
+        from lass_tpu.models.clap.audio_features import (
+            prepare_audio_batch, prepare_audio_fusion)
         from lass_tpu.models.clap.model import CLAPAudioEncoder
 
         encoder = CLAPAudioEncoder(htsat_cfg=htsat_cfg)
+        fusion = bool(getattr(htsat_cfg, "enable_fusion", False))
+        if fusion:
+            mel_cfg = htsat_cfg.mel
+            chunk_frames = clip_samples // mel_cfg.hop_length + 1
+            if audio_params is None:
+                dummy_mel = jnp.zeros((1, 4, chunk_frames, mel_cfg.n_mels))
+                audio_params = encoder.init(
+                    jax.random.PRNGKey(0), mel_fusion=dummy_mel,
+                    longer=jnp.zeros((1,), bool))
+
+            @jax.jit
+            def embed_fusion(variables, mel_fusion, longer):
+                return encoder.apply(variables, mel_fusion=mel_fusion,
+                                     longer=longer)
+
+            def audio_embed_fn(audio):
+                wave = np.asarray(audio, np.float32)
+                if wave.ndim == 3:  # (B, 1, L)
+                    wave = wave[:, 0]
+                wave48 = np.asarray(resample(jnp.asarray(wave),
+                                             sampling_rate, 48000))
+                mels, longer = [], []
+                for w in wave48:
+                    m, lg, _ = prepare_audio_fusion(w, clip_samples,
+                                                    mel_cfg=mel_cfg)
+                    mels.append(m)
+                    longer.append(lg)
+                return embed_fusion(audio_params,
+                                    jnp.asarray(np.stack(mels)),
+                                    jnp.asarray(np.asarray(longer)))
+
+            self.audio_embed_fn = audio_embed_fn
+            return
+
         if audio_params is None:
             dummy = jnp.zeros((1, clip_samples))
             audio_params = encoder.init(jax.random.PRNGKey(0), dummy)

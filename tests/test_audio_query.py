@@ -142,3 +142,65 @@ def test_htsat_converter_shapes():
         jnp.asarray(np.random.RandomState(1).randn(1, 48000).astype(
             np.float32) * 0.1))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_log_mel_np_matches_jax(rng):
+    from lass_tpu.dsp.mel import log_mel_spectrogram, log_mel_spectrogram_np
+
+    cfg = LogMelConfig()
+    x = rng.randn(96000).astype(np.float32) * 0.1
+    ours = log_mel_spectrogram_np(x, cfg)
+    ref = np.asarray(log_mel_spectrogram(jnp.asarray(x), cfg))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+class TestPrepareAudioFusion:
+    def test_long_clip(self, rng):
+        from lass_tpu.models.clap.audio_features import prepare_audio_fusion
+
+        cfg = LogMelConfig()
+        x = rng.randn(700000).astype(np.float32) * 0.1  # > 480000
+        mel_fusion, longer, audio = prepare_audio_fusion(
+            x, 480000, mel_cfg=cfg, rng=np.random.default_rng(0))
+        chunk_frames = 480000 // cfg.hop_length + 1
+        assert mel_fusion.shape == (4, chunk_frames, cfg.n_mels)
+        assert longer is True or longer == True  # noqa: E712
+        assert audio.shape == (480000,)
+
+    def test_short_clip_stacks_whole_mel(self, rng):
+        from lass_tpu.models.clap.audio_features import prepare_audio_fusion
+
+        cfg = LogMelConfig()
+        x = rng.randn(100000).astype(np.float32) * 0.1
+        mel_fusion, longer, audio = prepare_audio_fusion(
+            x, 480000, mel_cfg=cfg, rng=np.random.default_rng(0))
+        chunk_frames = 480000 // cfg.hop_length + 1
+        assert mel_fusion.shape == (4, chunk_frames, cfg.n_mels)
+        assert not longer
+        np.testing.assert_array_equal(mel_fusion[0], mel_fusion[3])
+
+
+def test_query_encoder_audio_path_fusion(rng):
+    """Fusion-enabled audio branch end-to-end through the facade: 32 kHz
+    batch -> 48 kHz -> per-item mel-fusion stacks -> fused HTSAT embed."""
+    import dataclasses
+
+    from lass_tpu.models.clap.roberta import RobertaConfig
+    from lass_tpu.models.query_encoder import CLAPQueryEncoder
+
+    cfg = dataclasses.replace(TINY, enable_fusion=True,
+                              fusion_type="aff_1d")
+    enc = CLAPQueryEncoder(
+        roberta_cfg=RobertaConfig(vocab_size=100, hidden_size=32,
+                                  num_hidden_layers=1, num_attention_heads=4,
+                                  intermediate_size=64,
+                                  max_position_embeddings=80))
+    enc.attach_audio_encoder(htsat_cfg=cfg, sampling_rate=32000,
+                             clip_samples=48000)  # 1 s at 48 kHz
+    # one short clip (repeatpad path) and one long clip (fusion path)
+    short = rng.randn(32000).astype(np.float32) * 0.1
+    audio = np.stack([short, rng.randn(32000).astype(np.float32) * 0.1])
+    out = np.asarray(enc.get_query_embed("audio", audio=jnp.asarray(audio)))
+    assert out.shape == (2, 512)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)

@@ -174,3 +174,68 @@ def test_clap_text_branch_full_size_parity(rng):
     # 12 layers of 768-d matmuls with random-init weights; the small-size
     # exact-mapping parity is pinned tighter in tests/test_roberta.py
     assert rel_err(np.asarray(ours), ref) <= 5e-4
+
+
+# ---------------------------------------------------------------------------
+# HTSAT mel-fusion variants (enable_fusion=True)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("fusion_type",
+                         ["daf_1d", "aff_1d", "iaff_2d", "channel_map"])
+def test_htsat_fusion_forward_parity(rng, fusion_type):
+    """Fusion-enabled HTSAT vs the reference: (B, 4, T, 64) mel stack +
+    longer flags through mel_conv1d/mel_conv2d + DAF/AFF/iAFF fusion
+    (reference htsat.py:116-202, :979-991, :1150-1207). The four types
+    cover every structural branch (1d pre-fusion, 2d patch-embed fusion,
+    channel_map 4-channel proj; aff_2d/daf_2d/iaff_1d recombine them)."""
+    from lass_tpu.models.clap.htsat import HTSAT, HTSATConfig
+
+    ref_mod = load_reference_htsat()
+    torch.manual_seed(0)
+    ref = ref_mod.HTSAT_Swin_Transformer(
+        spec_size=256, patch_size=4, patch_stride=(4, 4), num_classes=527,
+        embed_dim=128, depths=[2, 2, 12, 2], num_heads=[4, 8, 16, 32],
+        window_size=8, config=_AudioCfg(), enable_fusion=True,
+        fusion_type=fusion_type)
+    ref.eval()
+    variables = convert_htsat(ref.state_dict())
+
+    mel_fusion = (rng.randn(2, 4, 201, 64) * 8 - 20).astype(np.float32)
+    longer = np.array([True, False])
+
+    with torch.no_grad():
+        out_ref = ref({"mel_fusion": torch.from_numpy(mel_fusion),
+                       "longer": torch.from_numpy(longer)})
+
+    model = HTSAT(HTSATConfig(enable_fusion=True, fusion_type=fusion_type))
+    out = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        mel_fusion=jnp.asarray(mel_fusion), longer=jnp.asarray(longer),
+        train=False)
+
+    for key in ("embedding", "clipwise_output", "framewise_output"):
+        ref_v = out_ref[key].numpy()
+        ours = np.asarray(out[key])
+        assert ours.shape == ref_v.shape, (key, ours.shape, ref_v.shape)
+        assert rel_err(ours, ref_v) <= 1e-4, (key, rel_err(ours, ref_v))
+
+
+def test_htsat_fusion_short_clip_ignores_local_channels(rng):
+    """longer=False items must depend ONLY on the global mel (channel 0) —
+    the local chunks are where'd out (reference indexes them away)."""
+    from lass_tpu.models.clap.htsat import HTSAT, HTSATConfig
+
+    model = HTSAT(HTSATConfig(enable_fusion=True, fusion_type="aff_1d"))
+    mel = (rng.randn(1, 4, 101, 64) * 8 - 20).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           mel_fusion=jnp.asarray(mel),
+                           longer=jnp.asarray([False]), train=False)
+    out1 = model.apply(variables, mel_fusion=jnp.asarray(mel),
+                       longer=jnp.asarray([False]), train=False)
+    mel2 = mel.copy()
+    mel2[:, 1:] = rng.randn(1, 3, 101, 64) * 8 - 20  # perturb local chunks
+    out2 = model.apply(variables, mel_fusion=jnp.asarray(mel2),
+                       longer=jnp.asarray([False]), train=False)
+    np.testing.assert_allclose(np.asarray(out1["embedding"]),
+                               np.asarray(out2["embedding"]), atol=1e-6)
