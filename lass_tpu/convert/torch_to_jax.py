@@ -297,6 +297,54 @@ def convert_htsat(sd: StateDict, depths=(2, 2, 12, 2)) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_pann(sd: StateDict, model_name: str = "Cnn14"
+                 ) -> Dict[str, Any]:
+    """PANN state dict (audio_branch.* stripped) -> lass_tpu PANN params +
+    batch_stats (reference pann_model.py:171-684 incl. fusion variants;
+    the CLAP factory's PANN audio-ckpt rekeying is factory.py:165-197).
+    Skips the torchlibrosa front-end weights (exact bases synthesized)."""
+    from lass_tpu.models.clap.pann import _VARIANTS
+
+    sd = to_numpy_state_dict(sd)
+    channels, double, _, _, _ = _VARIANTS[model_name]
+    p_bn0, s_bn0 = _bn(sd, "bn0")
+    params: Dict[str, Any] = {
+        "bn0": p_bn0,
+        "fc1": _linear(sd, "fc1"),
+        "fc_audioset": _linear(sd, "fc_audioset"),
+    }
+    stats: Dict[str, Any] = {"bn0": s_bn0}
+    for i in range(len(channels)):
+        name = f"conv_block{i + 1}"
+        p_bn1, s_bn1 = _bn(sd, f"{name}.bn1")
+        p = {"conv1": _conv_layer(sd, f"{name}.conv1"), "bn1": p_bn1}
+        s = {"bn1": s_bn1}
+        if double:
+            p_bn2, s_bn2 = _bn(sd, f"{name}.bn2")
+            p["conv2"] = _conv_layer(sd, f"{name}.conv2")
+            p["bn2"], s["bn2"] = p_bn2, s_bn2
+        params[name], stats[name] = p, s
+    if "mel_conv1d.0.weight" in sd:
+        params["mel_conv1d"] = {
+            "kernel": np.ascontiguousarray(
+                np.transpose(sd["mel_conv1d.0.weight"], (2, 1, 0))),
+            "bias": sd["mel_conv1d.0.bias"],
+        }
+        p, s = _bn(sd, "mel_conv1d.1")
+        params["mel_conv1d_bn"], stats["mel_conv1d_bn"] = p, s
+    if "mel_conv2d.0.weight" in sd:
+        params["mel_conv2d"] = {
+            "kernel": _conv(sd["mel_conv2d.0.weight"]),
+            "bias": sd["mel_conv2d.0.bias"],
+        }
+        p, s = _bn(sd, "mel_conv2d.1")
+        params["mel_conv2d_bn"], stats["mel_conv2d_bn"] = p, s
+    if "fusion_model.local_att.0.weight" in sd:
+        p, s = _fusion_model(sd, "fusion_model")
+        params["fusion_model"], stats["fusion_model"] = p, s
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_clap_audio_encoder(sd: StateDict, depths=(2, 2, 12, 2)
                                ) -> Dict[str, Any]:
     """CLAP checkpoint -> CLAPAudioEncoder variables (HTSAT audio_branch +

@@ -190,6 +190,16 @@ def load_reference_resunet():
     return importlib.import_module("models.resunet")
 
 
+def load_reference_pann():
+    """Import the reference open_clip/pann_model.py under the synthetic
+    package (same stubs as htsat)."""
+    _install_torchlibrosa_stub()
+    _install_torchvision_stub()
+    _synthetic_package("ref_open_clip",
+                       f"{REFERENCE_ROOT}/models/CLAP/open_clip")
+    return importlib.import_module("ref_open_clip.pann_model")
+
+
 def load_reference_htsat():
     """Import the reference open_clip/htsat.py under a synthetic package
     (skips open_clip/__init__.py, which drags in the whole factory)."""

@@ -34,9 +34,26 @@ def test_cnn14_train_mode_dropout(tiny_cnn14, rng):
     wave = jnp.asarray(rng.randn(1, 16000).astype(np.float32) * 0.1)
     out1, _ = model.apply(variables, wave, train=True,
                           mutable=["batch_stats"],
-                          rngs={"dropout": jax.random.PRNGKey(1)})
+                          rngs={"dropout": jax.random.PRNGKey(1),
+                                "specaug": jax.random.PRNGKey(5)})
     out2, _ = model.apply(variables, wave, train=True,
                           mutable=["batch_stats"],
-                          rngs={"dropout": jax.random.PRNGKey(2)})
+                          rngs={"dropout": jax.random.PRNGKey(2),
+                                "specaug": jax.random.PRNGKey(5)})
     assert not np.allclose(np.asarray(out1["embedding"]),
                            np.asarray(out2["embedding"]))
+
+
+def test_cnn10_cnn6_forward(rng):
+    from lass_tpu.models.clap.pann import Cnn6, Cnn10
+
+    cfg = PANNConfig(mel=LogMelConfig(sample_rate=16000, n_fft=256,
+                                      hop_length=160, n_mels=64))
+    wave = jnp.asarray(rng.randn(1, 16000).astype(np.float32) * 0.1)
+    for factory, dim in [(Cnn10, 1024), (Cnn6, 512)]:
+        model = factory(cfg)
+        variables = model.init(jax.random.PRNGKey(0), wave, train=False)
+        out = model.apply(variables, wave, train=False)
+        assert out["embedding"].shape == (1, dim)
+        assert out["clipwise_output"].shape == (1, 527)
+        assert np.isfinite(np.asarray(out["fine_grained_embedding"])).all()

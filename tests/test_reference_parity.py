@@ -239,3 +239,84 @@ def test_htsat_fusion_short_clip_ignores_local_channels(rng):
                        longer=jnp.asarray([False]), train=False)
     np.testing.assert_allclose(np.asarray(out1["embedding"]),
                                np.asarray(out2["embedding"]), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# PANN family (Cnn14 / Cnn10 / Cnn6, incl. fusion variants)
+# ---------------------------------------------------------------------------
+
+def _ref_pann(model_name, enable_fusion=False, fusion_type="None"):
+    from reference_loader import load_reference_pann
+
+    ref_mod = load_reference_pann()
+    torch.manual_seed(0)
+    ref = getattr(ref_mod, model_name)(
+        sample_rate=48000, window_size=1024, hop_size=480, mel_bins=64,
+        fmin=50, fmax=14000, classes_num=527, enable_fusion=enable_fusion,
+        fusion_type=fusion_type)
+    ref.eval()
+    return ref
+
+
+@pytest.mark.parametrize("model_name", ["Cnn14", "Cnn10", "Cnn6"])
+def test_pann_full_forward_parity(rng, model_name):
+    """Reference pann_model.py:171-684 vs the JAX PANN family with
+    convert_pann'd random weights."""
+    from lass_tpu.convert.torch_to_jax import convert_pann
+    from lass_tpu.models.clap.pann import PANN, PANNConfig
+
+    ref = _ref_pann(model_name)
+    variables = convert_pann(ref.state_dict(), model_name)
+    wave = (rng.randn(2, 96000) * 0.1).astype(np.float32)
+
+    with torch.no_grad():
+        # Cnn14 takes {"waveform": ...}; Cnn10/Cnn6 take the raw tensor
+        # (pann_model.py:288-291 vs :508, :636)
+        if model_name == "Cnn14":
+            out_ref = ref({"waveform": torch.from_numpy(wave)})
+        else:
+            out_ref = ref(torch.from_numpy(wave))
+
+    model = PANN(PANNConfig(model_name=model_name))
+    out = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(wave), train=False)
+
+    for key in ("embedding", "clipwise_output", "fine_grained_embedding"):
+        ref_v = out_ref[key].numpy()
+        if key == "fine_grained_embedding":
+            ref_v = np.transpose(ref_v, (0, 1, 2))  # same layout (B, T, C)
+        ours = np.asarray(out[key])
+        assert ours.shape == ref_v.shape, (key, ours.shape, ref_v.shape)
+        assert rel_err(ours, ref_v) <= 1e-4, (key, rel_err(ours, ref_v))
+
+
+@pytest.mark.parametrize("fusion_type", ["aff_1d", "iaff_2d"])
+def test_pann_fusion_forward_parity(rng, fusion_type):
+    """Cnn14 fusion variants (pann_model.py:244-272, :300-389)."""
+    from lass_tpu.convert.torch_to_jax import convert_pann
+    from lass_tpu.models.clap.pann import PANN, PANNConfig
+
+    ref = _ref_pann("Cnn14", enable_fusion=True, fusion_type=fusion_type)
+    variables = convert_pann(ref.state_dict(), "Cnn14")
+    mel_fusion = (rng.randn(2, 4, 201, 64) * 8 - 20).astype(np.float32)
+    longer = np.array([True, False])
+
+    with torch.no_grad():
+        out_ref = ref({"mel_fusion": torch.from_numpy(mel_fusion),
+                       "longer": torch.from_numpy(longer)})
+
+    model = PANN(PANNConfig(model_name="Cnn14", enable_fusion=True,
+                            fusion_type=fusion_type))
+    out = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        mel_fusion=jnp.asarray(mel_fusion), longer=jnp.asarray(longer),
+        train=False)
+
+    for key in ("embedding", "clipwise_output", "fine_grained_embedding"):
+        ref_v = out_ref[key].numpy()
+        ours = np.asarray(out[key])
+        assert ours.shape == ref_v.shape, (key, ours.shape, ref_v.shape)
+        assert rel_err(ours, ref_v) <= 1e-4, (key, rel_err(ours, ref_v))
