@@ -34,21 +34,31 @@ def collate(items: List[Dict]) -> Dict:
 
 class DataModule:
     def __init__(self, train_dataset, batch_size: int, num_workers: int = 8,
-                 seed: int = 1234, prefetch: int = 4):
+                 seed: int = 1234, prefetch: int = 4,
+                 process_index: int = 0, process_count: int = 1):
+        """batch_size is the PER-HOST batch. With process_count > 1 every
+        host computes the same seeded global permutation and takes its
+        disjoint strided slice (the DistributedSampler analog — reference
+        train.py:277)."""
         self.train_dataset = train_dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
 
     def setup(self, stage: Optional[str] = None) -> None:  # API parity
         pass
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
+        from lass_tpu.parallel.host import shard_indices_for_host
+
         rng = np.random.default_rng(self.seed + epoch)
         idx = np.arange(len(self.train_dataset))
         rng.shuffle(idx)
-        return idx
+        return shard_indices_for_host(idx, self.process_index,
+                                      self.process_count)
 
     def _iter_batches(self) -> Iterator[Dict]:
         epoch = 0

@@ -102,10 +102,21 @@ class Trainer:
             sampling_rate=cfg.data.sampling_rate,
             max_clip_len=cfg.data.segment_seconds,
         )
+        # devices spans ALL hosts; each host loads only its shard of the
+        # global batch (lass_tpu.parallel.host)
+        from lass_tpu.parallel.host import host_info
+
+        proc_idx, proc_count = host_info()
         global_batch = cfg.train.batch_size_per_device * len(devices)
-        self.datamodule = DataModule(dataset, batch_size=global_batch,
+        if global_batch % proc_count:
+            raise ValueError(f"global batch {global_batch} not divisible "
+                             f"by process_count={proc_count}")
+        self.datamodule = DataModule(dataset,
+                                     batch_size=global_batch // proc_count,
                                      num_workers=cfg.train.num_workers,
-                                     seed=cfg.train.random_seed)
+                                     seed=cfg.train.random_seed,
+                                     process_index=proc_idx,
+                                     process_count=proc_count)
 
         self.ckpt = CheckpointManager(
             self.checkpoints_dir,
@@ -169,26 +180,27 @@ class Trainer:
         with self.mesh:
             for batch in self.datamodule.train_dataloader():
                 at = batch["audio_text"]
+                from lass_tpu.parallel.host import put_global_batch
+
                 if self.use_text_ratio >= 1.0:
                     # text-only (baseline config): mixing fuses into the
                     # train step, nothing round-trips to the host
                     condition = self.query_encoder.get_query_embed(
                         "hybird", text=at["text"], audio=None,
                         use_text_ratio=self.use_text_ratio)
-                    data = {
-                        "waveform": jax.device_put(
-                            jnp.asarray(at["waveform"]), self.batch_shard),
-                        "condition": jax.device_put(
-                            jnp.asarray(condition), self.batch_shard),
-                    }
+                    data = put_global_batch(
+                        {"waveform": at["waveform"],
+                         "condition": np.asarray(condition)},
+                        self.batch_shard)
                     self.state, metrics = self._step_fn(self.state, data,
                                                         rng)
                 else:
                     # hybrid: mix first (same fold_in(rng, step) key the
                     # fused path would use), embed the mixed segments
                     # (reference audiosep.py:77-88), then step premixed
-                    waveform = jax.device_put(
-                        jnp.asarray(at["waveform"]), self.batch_shard)
+                    waveform = put_global_batch(
+                        {"waveform": at["waveform"]},
+                        self.batch_shard)["waveform"]
                     mixtures, segments = self._mix_fn(waveform, rng,
                                                       self.state.step)
                     condition = self.query_encoder.get_query_embed(
@@ -197,8 +209,9 @@ class Trainer:
                     data = {
                         "mixture": mixtures,
                         "segment": segments,
-                        "condition": jax.device_put(
-                            jnp.asarray(condition), self.batch_shard),
+                        "condition": put_global_batch(
+                            {"condition": np.asarray(condition)},
+                            self.batch_shard)["condition"],
                     }
                     self.state, metrics = self._premixed_fn(self.state, data)
                 step = int(self.state.step)

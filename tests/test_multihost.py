@@ -1,0 +1,76 @@
+"""Multi-host scaffolding: per-host index sharding, global-batch assembly,
+DataModule disjointness (SURVEY.md §5.8; reference analog train.py:266-283
+DDP + use_distributed_sampler)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lass_tpu.parallel.host import (
+    host_info,
+    initialize_multihost,
+    put_global_batch,
+    shard_indices_for_host,
+)
+from lass_tpu.parallel.mesh import batch_sharding, make_mesh
+
+
+def test_initialize_multihost_single_process_noop():
+    initialize_multihost()  # must not raise nor call jax.distributed
+    idx, count = host_info()
+    assert count == 1 and idx == 0
+
+
+def test_shard_indices_disjoint_and_complete():
+    idx = np.random.default_rng(0).permutation(103)
+    shards = [shard_indices_for_host(idx, p, 4) for p in range(4)]
+    sizes = {len(s) for s in shards}
+    assert sizes == {103 // 4}  # equal per-host step counts
+    union = np.concatenate(shards)
+    assert len(set(union.tolist())) == len(union)  # disjoint
+    assert set(union.tolist()) <= set(idx.tolist())
+
+
+def test_shard_indices_identity_single_process():
+    idx = np.arange(10)
+    np.testing.assert_array_equal(shard_indices_for_host(idx, 0, 1), idx)
+
+
+def test_put_global_batch_single_process_mesh():
+    mesh = make_mesh(jax.devices()[:8])
+    bs = batch_sharding(mesh)
+    batch = {"waveform": np.ones((8, 1, 64), np.float32),
+             "condition": np.zeros((8, 4), np.float32)}
+    out = put_global_batch(batch, bs)
+    assert out["waveform"].shape == (8, 1, 64)
+    assert out["waveform"].sharding == bs
+
+
+def test_datamodule_host_shards_are_disjoint(tmp_path):
+    """Two DataModules with process_index 0/1 must iterate disjoint item
+    sets from the same seeded permutation."""
+
+    class IndexDataset:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i, rng=None):
+            return {"text": str(i), "waveform": np.full((1, 8), i,
+                                                        np.float32),
+                    "original_audiopath": str(i)}
+
+    from lass_tpu.data.datamodule import DataModule
+
+    seen = []
+    for p in range(2):
+        dm = DataModule(IndexDataset(), batch_size=4, num_workers=1,
+                        seed=7, process_index=p, process_count=2)
+        it = dm.train_dataloader()
+        ids = []
+        for _ in range(4):  # one epoch = 16 items per host
+            batch = next(it)
+            ids.extend(int(t) for t in batch["audio_text"]["text"])
+        seen.append(set(ids))
+    assert len(seen[0]) == len(seen[1]) == 16
+    assert seen[0].isdisjoint(seen[1])
+    assert seen[0] | seen[1] == set(range(32))
