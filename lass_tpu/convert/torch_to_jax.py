@@ -364,6 +364,73 @@ def convert_clap_audio_encoder(sd: StateDict, depths=(2, 2, 12, 2)
             "batch_stats": {"audio_branch": htsat["batch_stats"]}}
 
 
+def rekey_pretrained_audio(ckpt: Any, amodel_name: str, filename: str
+                           ) -> StateDict:
+    """Audio-only pretrained-checkpoint key remapping — reference
+    factory.py:165-231. ``ckpt`` is the loaded checkpoint object (the
+    caller torch.load()s it); returns audio_branch.-prefixed keys exactly
+    as the reference feeds model.load_state_dict(strict=False).
+
+    Recognized layouts:
+    - PANN official ('Cnn14_mAP' in path): ckpt['model'], every key except
+      the torchlibrosa front-end gains 'audio_branch.'
+    - PANN/HTSAT trained via the HTSAT codebase (basename starts
+      PANN/HTSAT): ckpt['state_dict'], 'sed_model.' -> 'audio_branch.'
+    - HTSAT official ('HTSAT_AudioSet_Saved'): ckpt['state_dict'],
+      'sed_model.' -> 'audio_branch.' with the front-end skipped
+    - linear-probe ('finetuned...'): used as-is
+    """
+    import os as _os
+
+    name = _os.path.basename(filename)
+    front_end = ("spectrogram_extractor", "logmel_extractor")
+
+    def _rekey(sd, strip_prefix_len, require_sed, skip_front):
+        out = {}
+        for k, v in sd.items():
+            if require_sed and not k.startswith("sed_model"):
+                out[k] = v
+                continue
+            if skip_front and any(f in k for f in front_end):
+                out[k] = v
+                continue
+            out["audio_branch." + k[strip_prefix_len:]] = v
+        return out
+
+    if amodel_name.startswith("PANN"):
+        if "Cnn14_mAP" in filename:
+            return _rekey(ckpt["model"], 0, False, True)
+        if name.startswith("PANN"):
+            return _rekey(ckpt["state_dict"], 10, True, False)
+        if name.startswith("finetuned"):
+            return dict(ckpt)
+        raise ValueError(f"unknown PANN audio checkpoint: {name}")
+    if amodel_name.startswith("HTSAT"):
+        if "HTSAT_AudioSet_Saved" in filename:
+            return _rekey(ckpt["state_dict"], 10, True, True)
+        if name.startswith("HTSAT"):
+            return _rekey(ckpt["state_dict"], 10, True, False)
+        if name.startswith("finetuned"):
+            return dict(ckpt)
+        raise ValueError(f"unknown HTSAT audio checkpoint: {name}")
+    raise ValueError(f"unsupported audio encoder: {amodel_name}")
+
+
+def convert_pretrained_audio(ckpt: Any, amodel_name: str, filename: str
+                             ) -> Dict[str, Any]:
+    """Pretrained audio-only checkpoint -> lass_tpu audio-branch variables
+    (rekey per factory.py:165-231, strip the prefix, dispatch to the
+    matching converter)."""
+    sd = to_numpy_state_dict(rekey_pretrained_audio(ckpt, amodel_name,
+                                                    filename))
+    branch = strip_prefix(sd, "audio_branch.")
+    if amodel_name.startswith("PANN"):
+        model_name = {"PANN-14": "Cnn14", "PANN-10": "Cnn10",
+                      "PANN-6": "Cnn6"}.get(amodel_name, "Cnn14")
+        return convert_pann(branch, model_name)
+    return convert_htsat(branch)
+
+
 def convert_clap_text_encoder(sd: StateDict, num_layers: int = 12
                               ) -> Dict[str, Any]:
     """CLAP checkpoint -> CLAPTextEncoder params: roberta text_branch +

@@ -173,3 +173,87 @@ def test_clap_text_conversion():
         ids, jnp.ones_like(ids))
     assert out.shape == (1, 512)
     np.testing.assert_allclose(float(jnp.linalg.norm(out)), 1.0, atol=1e-5)
+
+
+def test_rekey_pretrained_audio_layouts():
+    """factory.py:165-231 key-remapping parity for the four recognized
+    pretrained-audio checkpoint layouts."""
+    from lass_tpu.convert.torch_to_jax import rekey_pretrained_audio
+
+    w = np.zeros(1, np.float32)
+    # PANN official: ckpt['model'], front-end keys stay unprefixed
+    ckpt = {"model": {"conv_block1.conv1.weight": w,
+                      "spectrogram_extractor.stft.conv_real.weight": w}}
+    out = rekey_pretrained_audio(ckpt, "PANN-14", "/x/Cnn14_mAP=0.431.pth")
+    assert "audio_branch.conv_block1.conv1.weight" in out
+    assert "spectrogram_extractor.stft.conv_real.weight" in out
+
+    # PANN via HTSAT codebase: sed_model. -> audio_branch.
+    ckpt = {"state_dict": {"sed_model.conv_block1.conv1.weight": w,
+                           "other.thing": w}}
+    out = rekey_pretrained_audio(ckpt, "PANN-14", "/x/PANN_ft.ckpt")
+    assert "audio_branch.conv_block1.conv1.weight" in out
+    assert "other.thing" in out
+
+    # HTSAT official: sed_model. -> audio_branch., front-end skipped
+    ckpt = {"state_dict": {
+        "sed_model.patch_embed.proj.weight": w,
+        "sed_model.spectrogram_extractor.stft.conv_real.weight": w}}
+    out = rekey_pretrained_audio(ckpt, "HTSAT-base",
+                                 "/x/HTSAT_AudioSet_Saved_1.ckpt")
+    assert "audio_branch.patch_embed.proj.weight" in out
+    assert not any(k.startswith("audio_branch.spectrogram") for k in out)
+
+    # linear-probe: as-is
+    ckpt = {"audio_branch.norm.weight": w}
+    out = rekey_pretrained_audio(ckpt, "HTSAT-base", "/x/finetuned_x.pt")
+    assert out == ckpt
+
+    with pytest.raises(ValueError):
+        rekey_pretrained_audio({}, "HTSAT-base", "/x/mystery.pt")
+
+
+def test_convert_pretrained_audio_pann_end_to_end(rng):
+    """Official-PANN-layout checkpoint -> runnable Cnn14 variables."""
+    import jax.numpy as jnp_
+
+    from lass_tpu.convert.torch_to_jax import convert_pretrained_audio
+    from lass_tpu.dsp.mel import LogMelConfig
+    from lass_tpu.models.clap.pann import PANN, PANNConfig
+
+    sd = {}
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = np.ones(c, np.float32)
+        sd[f"{prefix}.bias"] = np.zeros(c, np.float32)
+        sd[f"{prefix}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{prefix}.running_var"] = np.ones(c, np.float32)
+
+    bn("bn0", 64)
+    chans = [64, 128, 256, 512, 1024, 2048]
+    cin = 1
+    for i, c in enumerate(chans):
+        sd[f"conv_block{i+1}.conv1.weight"] = (
+            rng.randn(c, cin, 3, 3) * 0.02).astype(np.float32)
+        sd[f"conv_block{i+1}.conv2.weight"] = (
+            rng.randn(c, c, 3, 3) * 0.02).astype(np.float32)
+        bn(f"conv_block{i+1}.bn1", c)
+        bn(f"conv_block{i+1}.bn2", c)
+        cin = c
+    for name, o, i in [("fc1", 2048, 2048), ("fc_audioset", 527, 2048)]:
+        sd[f"{name}.weight"] = (rng.randn(o, i) * 0.02).astype(np.float32)
+        sd[f"{name}.bias"] = np.zeros(o, np.float32)
+    sd["spectrogram_extractor.stft.conv_real.weight"] = np.zeros(
+        1, np.float32)
+
+    variables = convert_pretrained_audio({"model": sd}, "PANN-14",
+                                         "/ckpt/Cnn14_mAP=0.431.pth")
+    cfg = PANNConfig(mel=LogMelConfig(sample_rate=16000, n_fft=256,
+                                      hop_length=160, n_mels=64))
+    model = PANN(cfg)
+    wave = jnp_.asarray(rng.randn(1, 16000).astype(np.float32) * 0.1)
+    out = model.apply({"params": variables["params"],
+                       "batch_stats": variables["batch_stats"]},
+                      wave, train=False)
+    assert out["embedding"].shape == (1, 2048)
+    assert np.isfinite(np.asarray(out["embedding"])).all()
