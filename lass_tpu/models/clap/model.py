@@ -78,6 +78,30 @@ class CLAPAudioEncoder(nn.Module):
         return proj / jnp.maximum(norm, 1e-12)
 
 
+class CLAPPANNAudioEncoder(nn.Module):
+    """CLAP audio branch over a PANN CNN instead of HTSAT (the selectable
+    alternative, model.py:463-464 `if audio_cfg.model_type == "PANN"`)."""
+
+    pann_cfg: Any = None  # PANNConfig; None -> Cnn14
+    joint_embed_dim: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, waveform: Optional[jax.Array] = None,
+                 train: bool = False, *,
+                 mel_fusion: Optional[jax.Array] = None,
+                 longer: Optional[jax.Array] = None) -> jax.Array:
+        from lass_tpu.models.clap.pann import PANN, PANNConfig
+
+        cfg = self.pann_cfg or PANNConfig()
+        out = PANN(cfg, self.dtype, name="audio_branch")(
+            waveform, train, mel_fusion=mel_fusion, longer=longer)
+        proj = MLPProjection(self.joint_embed_dim, self.dtype,
+                             name="audio_projection")(out["embedding"])
+        norm = jnp.linalg.norm(proj, axis=-1, keepdims=True)
+        return proj / jnp.maximum(norm, 1e-12)
+
+
 class CLAPAudioProjection(nn.Module):
     """HTSAT embedding -> normalized 512-d joint embedding
     (model.py:754-781 get_audio_embedding)."""

@@ -78,12 +78,31 @@ def constant_warm_up(warm_up_steps: int, reduce_lr_steps: int) -> Callable:
     return schedule
 
 
+def cosine_warm_up(warm_up_steps: int, total_steps: int) -> Callable:
+    """Linear warmup then cosine decay to 0 — the CLAP pretraining schedule
+    (reference models/CLAP/training/scheduler.py:13-24). Returns the
+    LR MULTIPLIER (the reference multiplies base_lr inside)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = (step + 1) / warm_up_steps
+        e = step - warm_up_steps
+        es = max(total_steps - warm_up_steps, 1)
+        cos = 0.5 * (1 + jnp.cos(jnp.pi * e / es))
+        return jnp.where(step < warm_up_steps, warm, cos)
+
+    return schedule
+
+
 def get_lr_schedule(lr_lambda_type: str, warm_up_steps: int,
                     reduce_lr_steps: int) -> Callable:
     if lr_lambda_type == "linear_warm_up":
         return linear_warm_up(warm_up_steps, reduce_lr_steps)
     if lr_lambda_type == "constant_warm_up":
         return constant_warm_up(warm_up_steps, reduce_lr_steps)
+    if lr_lambda_type == "cosine_warm_up":
+        # reduce_lr_steps doubles as the total step count for the cosine
+        return cosine_warm_up(warm_up_steps, reduce_lr_steps)
     raise NotImplementedError(f"lr_lambda_type '{lr_lambda_type}'")
 
 
