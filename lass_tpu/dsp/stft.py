@@ -119,6 +119,17 @@ def _pad_signal(x: jax.Array, cfg: STFTConfig) -> jax.Array:
     return jnp.pad(x, pad, mode=cfg.pad_mode)
 
 
+@functools.lru_cache(maxsize=None)
+def _analysis_basis_padded(cfg: STFTConfig) -> np.ndarray:
+    """(R*hop, 2F) basis: the windowed-DFT rows zero-extended to a whole
+    number of hop-sized rows (R = ceil(n_fft / hop))."""
+    basis = _analysis_basis(cfg)  # (n_fft, 2F)
+    r = -(-cfg.n_fft // cfg.hop_length)
+    out = np.zeros((r * cfg.hop_length, basis.shape[1]), np.float32)
+    out[:cfg.n_fft] = basis
+    return out
+
+
 def stft(
     x: jax.Array,
     cfg: STFTConfig = STFTConfig(),
@@ -127,24 +138,34 @@ def stft(
 ) -> Tuple[jax.Array, jax.Array]:
     """STFT over the last axis. x: (..., L) -> (real, imag) each (..., T, F).
 
-    One strided conv with the windowed-DFT kernel; MXU-bound.
+    Framing trick for the MXU: a Cin=1 strided conv is a terrible TPU shape
+    (profiled at ~5% MXU), so instead view the padded signal as hop-sized
+    rows, stack R = ceil(n_fft/hop) shifted row views, and run ONE dense
+    (B*T, R*hop) @ (R*hop, 2F) matmul against the zero-row-extended
+    windowed-DFT basis. Frame t starts at t*hop = row t exactly.
     """
     lead = x.shape[:-1]
+    hop = cfg.hop_length
     xp = _pad_signal(x.astype(jnp.float32), cfg)
     lp = xp.shape[-1]
-    xp = xp.reshape((-1, 1, lp))
-    basis = jnp.asarray(_analysis_basis(cfg))  # (n_fft, 2F)
-    kernel = basis.T[:, None, :]  # (2F, 1, n_fft) as OIH
-    out = jax.lax.conv_general_dilated(
-        xp,
-        kernel,
-        window_strides=(cfg.hop_length,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
+    t_frames = (lp - cfg.n_fft) // hop + 1
+    r = -(-cfg.n_fft // hop)
+    n_rows = t_frames + r - 1  # rows touched by the last frame
+    if n_rows * hop > lp:
+        xp = jnp.pad(xp, [(0, 0)] * (xp.ndim - 1)
+                     + [(0, n_rows * hop - lp)])
+    rows = xp[..., :n_rows * hop].reshape((-1, n_rows, hop))
+    frames = jnp.stack(
+        [jax.lax.slice_in_dim(rows, k, k + t_frames, axis=1)
+         for k in range(r)], axis=2)  # (batch, T, R, hop)
+    frames = frames.reshape(frames.shape[0], t_frames, r * hop)
+    basis = jnp.asarray(_analysis_basis_padded(cfg))  # (R*hop, 2F)
+    out = jax.lax.dot_general(
+        frames, basis,
+        dimension_numbers=(((2,), (0,)), ((), ())),
         precision=precision,
-    )  # (batch, 2F, T)
+    )  # (batch, T, 2F)
     f = cfg.freq_bins
-    out = jnp.moveaxis(out, -2, -1)  # (batch, T, 2F)
     out = out.reshape(lead + out.shape[1:])
     return out[..., :f], out[..., f:]
 

@@ -58,7 +58,7 @@ class ResUNet30Base(nn.Module):
                  ) -> jax.Array:
         if self.freq_fold > 1:
             return self._call_folded(x, film, train)
-        x = conv2d(32, (1, 1), name="pre_conv")(x)
+        x = conv2d(32, (1, 1), name="pre_conv", dtype=x.dtype)(x)
         x1p, x1 = EncoderBlockRes1B(32, 32, (2, 2), name="encoder_block1")(
             x, film["encoder_block1"], train)
         x2p, x2 = EncoderBlockRes1B(32, 64, (2, 2), name="encoder_block2")(
@@ -86,7 +86,7 @@ class ResUNet30Base(nn.Module):
         h = DecoderBlockRes1B(64, 32, (2, 2), name="decoder_block6")(
             h, x1, film["decoder_block6"], train)
         return conv2d(self.output_channels * self.K, (1, 1),
-                      name="after_conv")(h)
+                      name="after_conv", dtype=h.dtype)(h)
 
     def _call_folded(self, x: jax.Array, film: Dict[str, Any], train: bool
                      ) -> jax.Array:

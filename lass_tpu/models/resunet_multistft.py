@@ -95,7 +95,7 @@ class MultiSTFTResUNet30(nn.Module):
             x = _adapt_freq(x, target_bins)
             x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
             x = x.astype(self.compute_dtype)
-            x = conv2d(32, (1, 1), name=f"pre_conv_{key}")(x)
+            x = conv2d(32, (1, 1), name=f"pre_conv_{key}", dtype=x.dtype)(x)
             pool, skip = EncoderBlockRes1B(
                 32, 32, (2, 2), name=f"encoder_block1_{key}")(
                 x, film["encoder_block1s"][key], train)
@@ -133,7 +133,7 @@ class MultiSTFTResUNet30(nn.Module):
                               name="decoder_block6")(
             h, x1, film["decoder_block6"], train)
         x = conv2d(self.output_channels * self.K, (1, 1),
-                   name="after_conv")(h)
+                   name="after_conv", dtype=h.dtype)(h)
 
         # back to the 512-grid: pad freq 256 -> 257, trim time
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 0)))

@@ -34,16 +34,22 @@ class ConvBlockRes(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, film: Dict, train: bool) -> jax.Array:
+        # dtype=x.dtype: with the default (None), flax promotes the
+        # computation to the f32 param dtype, silently running every conv
+        # in 3-pass f32 on the MXU when activations are bf16 (profiled at
+        # ~3x the bf16 conv cost). The activation dtype IS the requested
+        # compute dtype.
         h = BatchNorm(self.in_channels, self.momentum, name="bn1")(x, train)
         h = leaky_relu(h + _bcast(film["beta1"]).astype(h.dtype))
         h = conv2d(self.out_channels, self.kernel_size, use_bias=False,
-                   name="conv1")(h)
+                   name="conv1", dtype=x.dtype)(h)
         h = BatchNorm(self.out_channels, self.momentum, name="bn2")(h, train)
         h = leaky_relu(h + _bcast(film["beta2"]).astype(h.dtype))
         h = conv2d(self.out_channels, self.kernel_size, use_bias=False,
-                   name="conv2")(h)
+                   name="conv2", dtype=x.dtype)(h)
         if self.in_channels != self.out_channels:
-            return conv2d(self.out_channels, (1, 1), name="shortcut")(x) + h
+            return conv2d(self.out_channels, (1, 1), name="shortcut",
+                          dtype=x.dtype)(x) + h
         return x + h
 
 
@@ -90,7 +96,7 @@ class DecoderBlockRes1B(nn.Module):
         h = BatchNorm(self.in_channels, self.momentum, name="bn1")(x, train)
         h = leaky_relu(h + _bcast(film["beta1"]).astype(h.dtype))
         h = conv_transpose2d(self.out_channels, self.upsample, self.upsample,
-                             name="conv1")(h)
+                             name="conv1", dtype=x.dtype)(h)
         h = jnp.concatenate([h, skip], axis=-1)
         h = ConvBlockRes(
             self.out_channels + skip_ch, self.out_channels, self.kernel_size,

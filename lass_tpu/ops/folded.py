@@ -125,23 +125,40 @@ def folded_avg_pool_2x2(x: jax.Array, s: int) -> jax.Array:
     return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
 
 
+@functools.lru_cache(maxsize=None)
+def _convT_fold_embedding(s_in: int) -> np.ndarray:
+    """Constant one-hot E[r_i, j, r_o] with r_o = 2*r_i + j: which output
+    fold slot each (input fold, freq tap) pair feeds."""
+    e = np.zeros((s_in, 2, 2 * s_in), np.float32)
+    for r_i in range(s_in):
+        for j in range(2):
+            e[r_i, j, 2 * r_i + j] = 1.0
+    return e
+
+
 def folded_convT_2x2(x: jax.Array, w: jax.Array, s_in: int) -> jax.Array:
     """kernel==stride (2,2) transposed conv on a fold-s_in tensor ->
     fold-2*s_in tensor at (2T, G). w: (2, 2, Cout, Cin) (the
-    conv_transpose2d param layout)."""
+    conv_transpose2d param layout).
+
+    Implemented as ONE lhs-dilated convolution writing the time-interleaved
+    output directly: the einsum+reshape formulation produced a
+    (b, t, 2, g, c) intermediate whose merge into (b, 2t, g, c) cost a
+    full-tensor layout copy (profiled ~5 ms per 16-clip forward). The freq
+    tap lands in the output FOLD slot (r_o = 2*r_i + j), so frequency
+    upsampling is purely a channel mapping and only time needs dilation:
+    y[2t+i] = x[t] @ W[i]  ==  conv(dilate_2(x), kernel[k] = W[1-k],
+    padding (1,1)).
+    """
     _, _, cout, cin = w.shape
-    s_out = 2 * s_in
-    m = jnp.zeros((s_in * cin, 2, s_out * cout), w.dtype)
-    for i in range(2):
-        for j in range(2):
-            for r_i in range(s_in):
-                r_o = 2 * r_i + j
-                m = m.at[r_i * cin:(r_i + 1) * cin, i,
-                         r_o * cout:(r_o + 1) * cout].set(
-                    jnp.swapaxes(w[i, j], 0, 1))
-    y = jnp.einsum("btgu,uio->btigo", x, m.astype(x.dtype))
-    b, t2, _, g, uo = y.shape
-    return y.reshape(b, 2 * t2, g, uo)
+    e = jnp.asarray(_convT_fold_embedding(s_in))
+    # kernel[k, 0, r_i*cin+ci, r_o*cout+co] = w[1-k, j, co, ci] E[r_i, j, r_o]
+    kern = jnp.einsum("rjq,kjoc->krcqo", e, w[::-1])
+    kern = kern.reshape(2, 1, s_in * cin, 2 * s_in * cout).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, kern, window_strides=(1, 1), padding=((1, 1), (0, 0)),
+        lhs_dilation=(2, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class ConvParams(nn.Module):
