@@ -100,6 +100,17 @@ def _synthesis_basis(cfg: STFTConfig) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _synthesis_basis_no_nyquist(cfg: STFTConfig) -> np.ndarray:
+    """(2(F-1), n_fft) synthesis basis without the Nyquist rows. Exact when
+    the Nyquist coefficient is zero (e.g. the mask head's output, where the
+    phase-rotation factor is exactly 0 for zero logits on the padded bin)."""
+    basis = _synthesis_basis(cfg)
+    f = cfg.freq_bins
+    keep = [i for i in range(2 * f) if i not in (f - 1, 2 * f - 1)]
+    return basis[keep]
+
+
+@functools.lru_cache(maxsize=None)
 def _window_sumsquare(cfg: STFTConfig, num_frames: int) -> np.ndarray:
     """Overlap-added squared-window envelope over the padded output length."""
     n, hop = cfg.n_fft, cfg.hop_length
@@ -177,18 +188,24 @@ def istft(
     cfg: STFTConfig = STFTConfig(),
     *,
     precision=jax.lax.Precision.HIGHEST,
+    truncated_nyquist: bool = False,
 ) -> jax.Array:
     """Inverse STFT. real/imag: (..., T, F) -> (..., length).
 
     Fused IDFT-and-window matmul + chunked-shift overlap-add + constant
     envelope division. No scatters, no dynamic shapes.
+
+    truncated_nyquist=True consumes (..., T, F-1) inputs, treating the
+    Nyquist bin as exactly zero (valid for the mask head's output) — keeps
+    the lane dimension a power of two on TPU and skips a pad.
     """
     t_frames = real.shape[-2]
     n, hop = cfg.n_fft, cfg.hop_length
     spec = jnp.concatenate(
         [real.astype(jnp.float32), imag.astype(jnp.float32)], axis=-1
-    )  # (..., T, 2F)
-    basis = jnp.asarray(_synthesis_basis(cfg))  # (2F, n_fft)
+    )  # (..., T, 2F) or (..., T, 2(F-1))
+    basis = jnp.asarray(_synthesis_basis_no_nyquist(cfg)
+                        if truncated_nyquist else _synthesis_basis(cfg))
     frames = jax.lax.dot_general(
         spec, basis,
         dimension_numbers=(((spec.ndim - 1,), (0,)), ((), ())),

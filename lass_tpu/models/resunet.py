@@ -52,6 +52,11 @@ class ResUNet30Base(nn.Module):
     K: int = 3
     momentum: float = 0.01
     freq_fold: int = 1
+    # fused_head: skip the folded after_conv and return
+    # (h_folded, w_after, b_after) so the caller can run the fused
+    # after_conv + mask Pallas kernel (ops/pallas_masking.py). The after_conv
+    # params are created either way — the parameter tree is identical.
+    fused_head: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, film: Dict[str, Any], train: bool
@@ -135,6 +140,8 @@ class ResUNet30Base(nn.Module):
         w_after, b_after = ConvParams(
             (1, 1, 32, self.output_channels * self.K), use_bias=True,
             name="after_conv")()
+        if self.fused_head:
+            return h, w_after, b_after
         out = folded_conv(h, w_after, s, bias=b_after)
         return unfold_freq(out, s)
 
@@ -152,12 +159,21 @@ def apply_mask_and_reconstruct(
 ) -> jax.Array:
     """K=3 complex-mask apply + phase rotation + ISTFT.
 
-    mask_logits: (B, T, F, C_out*K); real_in/imag_in: the RAW mixture
-    spectrum (B, T, F, C_in) — the mixture mag/cos/sin decomposition
-    (reference base.py:91-113) happens inside the fused kernel so cos/sin
-    never materialize. Returns (B, C_out, L). Reference resunet.py:436-519.
+    mask_logits: (B, T, F, C_out*K) or (B, T, F-1, C_out*K); real_in/
+    imag_in: the RAW mixture spectrum (B, T, F, C_in) — the mixture
+    mag/cos/sin decomposition (reference base.py:91-113) happens inside the
+    fused kernel so cos/sin never materialize. When the logits omit the
+    Nyquist bin (F-1 = the UNet's 512-bin output), its mask output is
+    treated as exactly zero — which is exact, since zero logits produce a
+    zero phase-rotation factor — and the ISTFT runs with the
+    truncated-Nyquist basis, keeping lanes a power of two (no 513-pad).
+    Returns (B, C_out, L). Reference resunet.py:436-519.
     """
     b, t, f, _ = mask_logits.shape
+    truncated = f == stft_cfg.freq_bins - 1
+    if truncated:
+        real_in = real_in[..., :f, :]
+        imag_in = imag_in[..., :f, :]
     x = mask_logits.astype(jnp.float32).reshape(b, t, f, output_channels, K)
     real_in = real_in.astype(jnp.float32)
     imag_in = imag_in.astype(jnp.float32)
@@ -184,7 +200,65 @@ def apply_mask_and_reconstruct(
         out_real = flat(out_mag * out_cos)
         out_imag = flat(out_mag * out_sin)
     wav = istft(out_real, out_imag, audio_length, stft_cfg,
-                precision=precision)
+                precision=precision, truncated_nyquist=truncated)
+    return wav.reshape(b, output_channels, audio_length)
+
+
+def apply_fused_head_and_reconstruct(
+    h: jax.Array,
+    w_after: jax.Array,
+    b_after: jax.Array,
+    real_in: jax.Array,
+    imag_in: jax.Array,
+    origin_t: int,
+    audio_length: int,
+    stft_cfg: STFTConfig,
+    s: int,
+    output_channels: int,
+    K: int = 3,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused after_conv + mask + truncated-Nyquist ISTFT (folded layout).
+
+    h: decoder output, folded (B, T_pad, G, s*32); w_after/b_after: the
+    LOGICAL after_conv params (1, 1, 32, out*K) / (out*K,); real_in/imag_in:
+    raw mixture spectrum (B, T0, F, 1). Numerics match
+    apply_mask_and_reconstruct exactly: the padded Nyquist bin's mask output
+    is identically zero (mask_cos = mask_sin = 0 for zero logits), so
+    dropping it from the synthesis matmul is not an approximation.
+    """
+    from lass_tpu.ops.folded import fold_conv_kernel
+    from lass_tpu.ops.pallas_masking import apply_head_mask_folded
+
+    b, t_pad, g, _ = h.shape
+    fb = stft_cfg.freq_bins
+    w2d = fold_conv_kernel(w_after, s)[0, 0]  # (s*32, s*out*K)
+    bias = jnp.tile(b_after, s)
+
+    def foldspec(a):
+        a = a[..., 0][..., :fb - 1].reshape(b, origin_t, g, s)
+        a = jnp.pad(a, ((0, 0), (0, t_pad - origin_t), (0, 0), (0, 0)))
+        if output_channels > 1:
+            a = jnp.repeat(a, output_channels, axis=-1)
+        return a
+
+    # folded after_conv column k*K+kk -> (fold r, out o) = lane r*out + o
+    out_real, out_imag = apply_head_mask_folded(
+        h, w2d[:, 0::K], w2d[:, 1::K], w2d[:, 2::K],
+        bias[0::K], bias[1::K], bias[2::K],
+        foldspec(real_in), foldspec(imag_in), interpret)
+
+    def unfold_out(a):
+        a = a[:, :origin_t]
+        if output_channels == 1:
+            return a.reshape(b, origin_t, g * s)
+        a = a.reshape(b, origin_t, g, s, output_channels)
+        a = jnp.moveaxis(a, -1, 1)
+        return a.reshape(b * output_channels, origin_t, g * s)
+
+    wav = istft(unfold_out(out_real), unfold_out(out_imag), audio_length,
+                stft_cfg, precision=precision, truncated_nyquist=True)
     return wav.reshape(b, output_channels, audio_length)
 
 
@@ -207,6 +281,11 @@ class ResUNet30(nn.Module):
     # f32 DSP matmul passes: HIGHEST = exact f32 (6-pass, parity runs),
     # HIGH = 3-pass (~1e-6 rel — default), DEFAULT = 1-pass bf16
     dsp_precision: Any = jax.lax.Precision.HIGH
+    # fused after_conv+mask Pallas head (folded path): measured SLOWER than
+    # the XLA path on v5e — its (B,T,G,M=4)-minor output lane-pads 4->128
+    # (32x physical HBM blow-up) and the big-tile variant overflows scoped
+    # VMEM. Kept as opt-in infrastructure (tests force True, interpret).
+    fuse_head: Any = None
 
     @property
     def stft_cfg(self) -> STFTConfig:
@@ -238,13 +317,28 @@ class ResUNet30(nn.Module):
         x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
         x = x[:, :, :freq_bins - 1, :]
 
-        x = ResUNet30Base(self.input_channels, self.output_channels, self.K,
-                          freq_fold=self.freq_fold,
-                          name="base")(x, film, train)
+        backend = jax.default_backend()
+        fused = self.freq_fold > 1 and self.input_channels == 1 and (
+            self.fuse_head is True)
 
-        # restore original time/freq extent (reference resunet.py:572-574)
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 0)))
-        x = x[:, :origin_t]
+        out = ResUNet30Base(self.input_channels, self.output_channels,
+                            self.K, freq_fold=self.freq_fold,
+                            fused_head=fused, name="base")(x, film, train)
+
+        if fused:
+            h, w_after, b_after = out
+            waveform = apply_fused_head_and_reconstruct(
+                h, w_after, b_after, real_in, imag_in, origin_t,
+                audio_length, self.stft_cfg, self.freq_fold,
+                self.output_channels, self.K,
+                precision=self.dsp_precision,
+                interpret=backend not in ("tpu", "axon"))
+            return {"waveform": waveform}
+
+        # restore original time extent (reference resunet.py:572-574); the
+        # dropped Nyquist bin is handled exactly by the truncated-Nyquist
+        # mask+ISTFT path inside apply_mask_and_reconstruct
+        x = out[:, :origin_t]
 
         waveform = apply_mask_and_reconstruct(
             x, real_in, imag_in, audio_length, self.stft_cfg,

@@ -168,3 +168,109 @@ apply_complex_mask.defvjp(_fwd, _bwd)
 def reference_mask_math(l_mag, l_real, l_imag, mag, cos_in, sin_in):
     """Plain-jnp oracle (same formula) for tests and CPU paths."""
     return _mask_math(l_mag, l_real, l_imag, mag, cos_in, sin_in)
+
+
+# ---------------------------------------------------------------------------
+# Fused head: after_conv (1x1, folded) + complex-mask apply in ONE kernel.
+#
+# The folded after_conv writes a (B, T, G, s*out*K) tensor whose 12 logical
+# channels are lane-padded to 128 on TPU — a 537 MB HBM write for 50 MB of
+# masks per 16-clip forward (profiled 3.6 ms), plus pad/crop copies around
+# the mask kernel. Fusing the 1x1 conv into the mask kernel reads the
+# decoder output ONCE and writes only the (B, T, G, s) complex spectrum.
+# ---------------------------------------------------------------------------
+
+
+def head_mask_reference(h, w_mag, w_r, w_i, b_mag, b_r, b_i,
+                        real_f, imag_f, eps: float = 1e-10):
+    """jnp oracle/backward for the fused head. h (B,T,G,C); the three
+    (C, M) weight column-groups + (M,) biases of the folded after_conv
+    (M = S*out_ch lanes, mask-k major-split beforehand); real_f/imag_f the
+    folded raw spectrum expanded to the same M lanes. Returns
+    (out_real, out_imag) each (B,T,G,M)."""
+    hf = h.astype(jnp.float32)
+
+    def head(w, b):
+        return jnp.einsum("btgc,cm->btgm", hf, w.astype(jnp.float32)) \
+            + b.astype(jnp.float32)
+
+    return _mask_math_from_ri(
+        head(w_mag, b_mag), head(w_r, b_r), head(w_i, b_i),
+        real_f.astype(jnp.float32), imag_f.astype(jnp.float32), eps)
+
+
+def _head_kernel(h_ref, wm_ref, wr_ref, wi_ref, bm_ref, br_ref, bi_ref,
+                 re_ref, im_ref, real_ref, imag_ref):
+    t_t, g, c = h_ref.shape[1:]
+    m = wm_ref.shape[-1]
+    x = h_ref[0].reshape(t_t * g, c)
+
+    def head(w_ref2, b_ref2):
+        l = jax.lax.dot(x, w_ref2[:], preferred_element_type=jnp.float32)
+        return (l + b_ref2[0][None, :]).reshape(t_t, g, m)
+
+    out_real, out_imag = _mask_math_from_ri(
+        head(wm_ref, bm_ref), head(wr_ref, br_ref), head(wi_ref, bi_ref),
+        re_ref[0], im_ref[0])
+    real_ref[0] = out_real
+    imag_ref[0] = out_imag
+
+
+def _head_forward(h, w_mag, w_r, w_i, b_mag, b_r, b_i, real_f, imag_f,
+                  interpret):
+    b, t, g, c = h.shape
+    m = w_mag.shape[-1]
+    # Small tiles: the m-lane intermediates pad to 128 lanes in VMEM, so a
+    # 128-row tile overflows the 16 MB scoped-vmem limit (measured 72 MB).
+    t_tile = next(tt for tt in (16, 8, 4, 2, 1) if t % tt == 0)
+    grid = (b, t // t_tile)
+    act_spec = pl.BlockSpec((1, t_tile, g, c), lambda i, j: (i, j, 0, 0))
+    spec_spec = pl.BlockSpec((1, t_tile, g, m), lambda i, j: (i, j, 0, 0))
+    w_spec = pl.BlockSpec((c, m), lambda i, j: (0, 0))
+    b_spec = pl.BlockSpec((1, m), lambda i, j: (0, 0))
+    as_b = lambda v: v.reshape(1, m).astype(jnp.float32)
+    real, imag = pl.pallas_call(
+        _head_kernel,
+        grid=grid,
+        in_specs=[act_spec, w_spec, w_spec, w_spec, b_spec, b_spec, b_spec,
+                  spec_spec, spec_spec],
+        out_specs=(spec_spec, spec_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, t, g, m), jnp.float32),
+                   jax.ShapeDtypeStruct((b, t, g, m), jnp.float32)),
+        interpret=interpret,
+    )(h, w_mag.astype(h.dtype), w_r.astype(h.dtype), w_i.astype(h.dtype),
+      as_b(b_mag), as_b(b_r), as_b(b_i),
+      real_f.astype(jnp.float32), imag_f.astype(jnp.float32))
+    return real, imag
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def apply_head_mask_folded(h, w_mag, w_r, w_i, b_mag, b_r, b_i,
+                           real_f, imag_f, interpret: bool = False):
+    """Fused folded after_conv (1x1) + K=3 complex-mask apply.
+
+    h: decoder output, folded (B, T, G, C); w_mag/w_r/w_i: (C, M) column
+    groups of the folded after_conv kernel for the magnitude/real/imag
+    mask logits (M = S*out_ch); b_*: their (M,) biases; real_f/imag_f:
+    folded raw mixture spectrum (B, T, G, M). Returns (out_real, out_imag)
+    (B, T, G, M) f32 — a free reshape away from (B, T, S*G) since
+    f = S*g + r. Differentiable (jnp recompute backward).
+    """
+    return _head_forward(h, w_mag, w_r, w_i, b_mag, b_r, b_i,
+                         real_f, imag_f, interpret)
+
+
+def _head_fwd(h, w_mag, w_r, w_i, b_mag, b_r, b_i, real_f, imag_f,
+              interpret):
+    out = _head_forward(h, w_mag, w_r, w_i, b_mag, b_r, b_i,
+                        real_f, imag_f, interpret)
+    return out, (h, w_mag, w_r, w_i, b_mag, b_r, b_i, real_f, imag_f)
+
+
+def _head_bwd(interpret, residuals, cotangents):
+    del interpret
+    _, vjp_fn = jax.vjp(lambda *a: head_mask_reference(*a), *residuals)
+    return vjp_fn(cotangents)
+
+
+apply_head_mask_folded.defvjp(_head_fwd, _head_bwd)

@@ -104,3 +104,21 @@ def test_wav_to_spectrogram_phase_layout(rng):
     r_ref, i_ref = torch_stft(x[:, 0], STFTConfig())
     np.testing.assert_allclose(
         np.asarray(mag)[..., 0], np.sqrt(r_ref**2 + i_ref**2), atol=1e-3)
+
+
+def test_istft_truncated_nyquist_exact():
+    """istft(truncated_nyquist) == istft with an explicitly zero Nyquist."""
+    import numpy as np
+
+    from lass_tpu.dsp.stft import STFTConfig, istft
+
+    rng = np.random.RandomState(7)
+    cfg = STFTConfig(n_fft=256, hop_length=160)
+    real = rng.randn(2, 11, 129).astype(np.float32)
+    imag = rng.randn(2, 11, 129).astype(np.float32)
+    real[..., -1] = 0.0
+    imag[..., -1] = 0.0
+    want = istft(jnp.asarray(real), jnp.asarray(imag), 1600, cfg)
+    got = istft(jnp.asarray(real[..., :-1]), jnp.asarray(imag[..., :-1]),
+                1600, cfg, truncated_nyquist=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
