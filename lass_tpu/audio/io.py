@@ -58,30 +58,48 @@ def read_wav(path: str, mono: bool = False) -> Tuple[np.ndarray, int]:
     return data, sr
 
 
+def read_wav_bytes(payload: bytes, mono: bool = False
+                   ) -> Tuple[np.ndarray, int]:
+    """In-memory decode (tar-shard pipeline, data/shards.py): same contract
+    as read_wav but from a bytes payload."""
+    if _NATIVE is not None:
+        return _NATIVE.decode_wav(payload, mono)
+    import io as _io
+
+    data, sr = _read_wav_fileobj(_io.BytesIO(payload), "<bytes>")
+    if mono and data.shape[0] > 1:
+        data = data.mean(axis=0, keepdims=True)
+    return data, sr
+
+
 def _read_wav_py(path: str) -> Tuple[np.ndarray, int]:
     """Pure-python reference decoder."""
     with open(path, "rb") as f:
-        riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
-        if riff != b"RIFF" or wave != b"WAVE":
-            raise ValueError(f"{path}: not a RIFF/WAVE file")
-        fmt = None
-        data = None
-        while True:
-            header = f.read(8)
-            if len(header) < 8:
-                break
-            chunk_id, chunk_size = struct.unpack("<4sI", header)
-            if chunk_id == b"fmt ":
-                fmt = f.read(chunk_size)
-            elif chunk_id == b"data":
-                data = f.read(chunk_size)
-            else:
-                f.seek(chunk_size + (chunk_size & 1), 1)
-                continue
-            if chunk_size & 1:
-                f.seek(1, 1)
-            if fmt is not None and data is not None:
-                break
+        return _read_wav_fileobj(f, path)
+
+
+def _read_wav_fileobj(f, path: str) -> Tuple[np.ndarray, int]:
+    riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+    fmt = None
+    data = None
+    while True:
+        header = f.read(8)
+        if len(header) < 8:
+            break
+        chunk_id, chunk_size = struct.unpack("<4sI", header)
+        if chunk_id == b"fmt ":
+            fmt = f.read(chunk_size)
+        elif chunk_id == b"data":
+            data = f.read(chunk_size)
+        else:
+            f.seek(chunk_size + (chunk_size & 1), 1)
+            continue
+        if chunk_size & 1:
+            f.seek(1, 1)
+        if fmt is not None and data is not None:
+            break
     if fmt is None or data is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
 

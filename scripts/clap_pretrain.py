@@ -16,13 +16,27 @@ the datafile/DataModule host pipeline (zero-egress environment; same
 """
 import argparse
 import logging
+import os
 import pathlib
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--workspace", required=True)
-    parser.add_argument("--datafiles", nargs="+", required=True)
+    parser.add_argument("--datafiles", nargs="+", default=None)
+    parser.add_argument("--train_shards", nargs="+", default=None,
+                        help="tar shards (webdataset layout: key.wav + "
+                        "key.json per sample; brace patterns OK) — the "
+                        "reference's --train-data path (data.py:676)")
+    parser.add_argument("--data_filling", default="repeatpad",
+                        choices=["repeatpad", "pad", "repeat"])
+    parser.add_argument("--data_truncating", default="rand_trunc",
+                        choices=["rand_trunc", "fusion"])
+    parser.add_argument("--text_augment_selection", default=None,
+                        choices=[None, "none", "all", "augment_only"])
     parser.add_argument("--val_datafiles", nargs="+", default=None)
     parser.add_argument("--amodel", default="HTSAT-base",
                         choices=["HTSAT-tiny", "HTSAT-base", "PANN-14"])
@@ -96,13 +110,49 @@ def main():
         optax.scale_by_learning_rate(lambda s: args.lr * schedule(s)))
     task = CLAPPretrainTask(audio_encoder, text_encoder, optimizer)
 
-    dataset = AudioTextDataset(datafiles=args.datafiles,
-                               sampling_rate=sample_rate,
-                               max_clip_len=args.clip_seconds)
+    if bool(args.datafiles) == bool(args.train_shards):
+        parser.error("exactly one of --datafiles / --train_shards")
     proc_idx, proc_count = host_info()
-    dm = DataModule(dataset, batch_size=args.batch_size // proc_count,
+    if args.train_shards:
+        from lass_tpu.data.shards import TarShardDataset
+
+        def train_batches():
+            """Epoch-looped tar-shard stream (reference wds path)."""
+            epoch = 0
+            while True:
+                ds = TarShardDataset(
+                    shards=args.train_shards,
+                    batch_size=args.batch_size // proc_count,
+                    max_len=clip_samples,
+                    data_filling=args.data_filling,
+                    data_truncating=args.data_truncating,
+                    text_augment_selection=args.text_augment_selection,
                     num_workers=args.num_workers, seed=args.seed,
-                    process_index=proc_idx, process_count=proc_count)
+                    epoch=epoch, process_index=proc_idx,
+                    process_count=proc_count)
+                for batch in ds:
+                    yield {"waveform": batch["waveform"],
+                           "text": batch["raw_text"]}
+                epoch += 1
+
+        n_train = TarShardDataset(
+            shards=args.train_shards, batch_size=1,
+            max_len=clip_samples).num_samples or -1
+    else:
+        dataset = AudioTextDataset(datafiles=args.datafiles,
+                                   sampling_rate=sample_rate,
+                                   max_clip_len=args.clip_seconds)
+        dm = DataModule(dataset, batch_size=args.batch_size // proc_count,
+                        num_workers=args.num_workers, seed=args.seed,
+                        process_index=proc_idx, process_count=proc_count)
+
+        def train_batches():
+            for batch in dm.train_dataloader():
+                at = batch["audio_text"]
+                yield {"waveform": at["waveform"][:, 0],
+                       "text": at["text"]}
+
+        n_train = len(dataset)
 
     mesh = make_mesh(jax.devices())
     bs, rep = batch_sharding(mesh), replicated(mesh)
@@ -157,13 +207,12 @@ def main():
                                  np.concatenate(t_all))
 
     logging.info("clap_pretrain: %s, %d train items, batch %d",
-                 args.amodel, len(dataset), args.batch_size)
+                 args.amodel, n_train, args.batch_size)
     with mesh:
-        for batch in dm.train_dataloader():
-            at = batch["audio_text"]
-            ids, mask = tokenize(at["text"])
+        for batch in train_batches():
+            ids, mask = tokenize(batch["text"])
             data = put_global_batch(
-                {"waveform": at["waveform"][:, 0],
+                {"waveform": batch["waveform"],
                  "input_ids": ids, "attention_mask": mask}, bs)
             state, m = step_fn(state, data)
             step = int(state.step)
