@@ -142,8 +142,8 @@ class ResUNet30Base(nn.Module):
             name="after_conv")()
         if self.fused_head:
             return h, w_after, b_after
-        out = folded_conv(h, w_after, s, bias=b_after)
-        return unfold_freq(out, s)
+        from lass_tpu.ops.folded import folded_after_conv_transposed
+        return folded_after_conv_transposed(h, w_after, b_after, s)
 
 
 def apply_mask_and_reconstruct(

@@ -112,6 +112,37 @@ def folded_conv(x: jax.Array, w: jax.Array, s: int,
     return y
 
 
+def folded_after_conv_transposed(x: jax.Array, w: jax.Array,
+                                 bias: jax.Array, s: int) -> jax.Array:
+    """The mask-head 1x1 conv (reference resunet.py after_conv) as a
+    TRANSPOSED-OUTPUT dot: (B, T, G, s*Cin) x (1, 1, Cin, J) -> unfolded
+    logits (B, T, s*G, J).
+
+    A folded 1x1 conv writes (B, T, G, s*J) with s*J = 12 lanes padded to
+    128 on TPU — a 32x physical HBM blow-up (537 MB for 50 MB of masks,
+    profiled 3.6 ms at B=16). Emitting the dot as (s*J, B, T, G) keeps the
+    minor dim at G = 128 (zero pad); the final rearrange to true frequency
+    order moves only the logical 50 MB.
+    """
+    b, t, g, _ = x.shape
+    j = w.shape[-1]
+    w2d = fold_conv_kernel(w, s)[0, 0]              # (s*Cin, M), m = r*J+j
+    m = w2d.shape[1]
+    # k-major column order m' = j*s + r so the per-head slices downstream
+    # are contiguous
+    perm = np.arange(m).reshape(s, j).T.reshape(-1)
+    w2d = w2d[:, perm].astype(x.dtype)
+    bias_f = jnp.tile(bias, s)[perm].astype(jnp.float32)
+    l = jax.lax.dot_general(
+        w2d.T, x, dimension_numbers=(((1,), (3,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (M, B, T, G)
+    l = (l + bias_f[:, None, None, None]).astype(x.dtype)
+    # (m'=(j,r), B, T, G) -> (B, T, G, r, j) -> (B, T, F=g*s+r, J)
+    l = l.reshape(j, s, b, t, g)
+    l = jnp.transpose(l, (2, 3, 4, 1, 0))
+    return l.reshape(b, t, g * s, j)
+
+
 def folded_avg_pool_2x2(x: jax.Array, s: int) -> jax.Array:
     """2x2 avg pool on a (plain) fold-s tensor -> fold-s//2 tensor at
     (T/2, G). Channel-axis slicing instead of a fine-grained reshape keeps
