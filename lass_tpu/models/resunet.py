@@ -52,6 +52,9 @@ class ResUNet30Base(nn.Module):
     K: int = 3
     momentum: float = 0.01
     freq_fold: int = 1
+    # block-sparse fused act+conv eval kernel for the folded levels
+    # (ops/pallas_folded_conv): None = auto (TPU backends), True/False force
+    sparse_conv: Any = None
     # fused_head: skip the folded after_conv and return
     # (h_folded, w_after, b_after) so the caller can run the fused
     # after_conv + mask Pallas kernel (ops/pallas_masking.py). The after_conv
@@ -105,11 +108,13 @@ class ResUNet30Base(nn.Module):
                                   use_bias=True, name="pre_conv")()
         x = folded_conv(x, w_pre, s, bias=b_pre)
         x1p_f, x1_f = FoldedEncoderBlockRes1B(
-            32, 32, s, name="encoder_block1")(
+            32, 32, s, use_sparse_kernel=self.sparse_conv,
+            name="encoder_block1")(
             x, film["encoder_block1"], train)
         # level 2 runs at fold s//2 (the pool's natural output layout)
         x2p_f, x2_f = FoldedEncoderBlockRes1B(
-            32, 64, s // 2, name="encoder_block2")(
+            32, 64, s // 2, use_sparse_kernel=self.sparse_conv,
+            name="encoder_block2")(
             x1p_f, film["encoder_block2"], train)
         x2p = x2p_f  # fold s//4 == 1 for s=4: already the plain layout
         x3p, x3 = EncoderBlockRes1B(64, 128, (2, 2), name="encoder_block3")(
@@ -131,10 +136,12 @@ class ResUNet30Base(nn.Module):
         h = DecoderBlockRes1B(256, 128, (2, 2), name="decoder_block4")(
             h, x3, film["decoder_block4"], train)
         h = FoldedDecoderBlockRes1B(
-            128, 64, 64, fold_in=1, name="decoder_block5")(
+            128, 64, 64, fold_in=1, use_sparse_kernel=self.sparse_conv,
+            name="decoder_block5")(
             h, x2_f, film["decoder_block5"], train)
         h = FoldedDecoderBlockRes1B(
             64, 32, 32, fold_in=s // 2, input_is_folded=True,
+            use_sparse_kernel=self.sparse_conv,
             name="decoder_block6")(
             h, x1_f, film["decoder_block6"], train)
         w_after, b_after = ConvParams(
@@ -281,6 +288,8 @@ class ResUNet30(nn.Module):
     # f32 DSP matmul passes: HIGHEST = exact f32 (6-pass, parity runs),
     # HIGH = 3-pass (~1e-6 rel — default), DEFAULT = 1-pass bf16
     dsp_precision: Any = jax.lax.Precision.HIGH
+    # block-sparse fused act+conv eval kernel for the folded levels
+    sparse_conv: Any = None
     # fused after_conv+mask Pallas head (folded path): measured SLOWER than
     # the XLA path on v5e — its (B,T,G,M=4)-minor output lane-pads 4->128
     # (32x physical HBM blow-up) and the big-tile variant overflows scoped
@@ -323,6 +332,7 @@ class ResUNet30(nn.Module):
 
         out = ResUNet30Base(self.input_channels, self.output_channels,
                             self.K, freq_fold=self.freq_fold,
+                            sparse_conv=self.sparse_conv,
                             fused_head=fused, name="base")(x, film, train)
 
         if fused:

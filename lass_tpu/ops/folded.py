@@ -242,11 +242,25 @@ class FoldedConvBlockRes(nn.Module):
     in_groups: Optional[Tuple[int, ...]] = None
     kernel_size: Tuple[int, int] = (3, 3)
     momentum: float = 0.01
+    # block-sparse fused act+conv Pallas kernel (ops/pallas_folded_conv):
+    # None = auto (eval forward on TPU backends), True forces (tests run
+    # interpret off-TPU), False disables.
+    use_sparse_kernel: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, film, train: bool) -> jax.Array:
         s = self.fold
         groups = self.in_groups
+
+        backend = jax.default_backend()
+        # default OFF: first cut measured 74.5 ms vs 54.2 ms XLA for the
+        # full forward (small tiles + VPU staging dominate) — opt-in via
+        # use_sparse_kernel=True until the kernel beats the XLA convs
+        sparse = (not train and self.kernel_size == (3, 3)
+                  and self.use_sparse_kernel is True)
+        if sparse:
+            return self._sparse_kernel_path(
+                x, film, interpret=backend not in ("tpu", "axon"))
 
         # Fused-kernel path: measured SLOWER than XLA's conv fusions on
         # v5e (110 ms vs 83 ms per 16-clip forward — the halo-window
@@ -291,6 +305,63 @@ class FoldedConvBlockRes(nn.Module):
             x, s, self.in_channels,
             BatchNorm(self.in_channels, self.momentum, name="bn1"),
             film["beta1"], train, in_groups=groups)
+        return self._xla_tail(x, h, film, train)
+
+    def _sparse_kernel_path(self, x, film, interpret: bool) -> jax.Array:
+        """Eval forward via the block-sparse fused act+conv kernel
+        (ops/pallas_folded_conv): each conv consumes the RAW previous
+        tensor and applies its BN-affine + FiLM beta + leaky in VMEM.
+        Identical param tree to the XLA path."""
+        from lass_tpu.ops.pallas_folded_conv import fused_act_folded_conv
+
+        s = self.fold
+        groups = self.in_groups
+        batch = x.shape[0]
+        g1 = tuple(groups) if groups else (self.in_channels,)
+
+        def run_conv(xin, bn_name, channels, beta, conv_name, grp):
+            """One fused act+conv. Inputs with C < 128 lanes (one group)
+            are refolded deeper first — fold-s of C channels IS
+            fold-(k*s) of C/k channels under a free reshape — because the
+            kernel's HBM DMA needs a 128-aligned lane dim."""
+            s_eff, xe = s, xin
+            c_f = xin.shape[-1]
+            k = 1
+            if (len(grp) == 1 and c_f < 128 and 128 % c_f == 0
+                    and xin.shape[2] % (128 // c_f) == 0):
+                k = 128 // c_f
+                s_eff, xe = s * k, fold_freq(xin, k)
+            bn = BatchNorm(channels, self.momentum, name=bn_name)
+            w, _ = ConvParams((*self.kernel_size, channels,
+                               self.out_channels), name=conv_name)()
+            in_g = grp if len(grp) > 1 else None
+            if xe.shape[-1] % 128:
+                # lane dim not DMA-alignable: XLA fallback for this conv
+                h = folded_bn_film_act(xin, s, channels, bn, beta, False,
+                                       in_groups=in_g)
+                return folded_conv(h, w, s, in_groups=in_g)
+            fm = fold_feature_map(s_eff, grp)
+            inv, sh = bn(None, False, feature_map=fm, return_affine=True)
+            a = jnp.broadcast_to(inv[None], (batch, len(fm)))
+            bvec = sh[None] + beta[:, fm].astype(jnp.float32)
+            y = fused_act_folded_conv(
+                xe, fold_conv_kernel(w, s_eff, in_g),
+                a, bvec, s_eff, grp, interpret=interpret)
+            return unfold_freq(y, k) if k > 1 else y
+
+        h = run_conv(x, "bn1", self.in_channels, film["beta1"], "conv1", g1)
+        h = run_conv(h, "bn2", self.out_channels, film["beta2"], "conv2",
+                     (self.out_channels,))
+
+        if self.in_channels != self.out_channels:
+            ws, bs = ConvParams((1, 1, self.in_channels, self.out_channels),
+                                use_bias=True, name="shortcut")()
+            return folded_conv(x, ws, s, bias=bs, in_groups=groups) + h
+        return x + h
+
+    def _xla_tail(self, x, h, film, train):
+        s = self.fold
+        groups = self.in_groups
         # layout preserved: grouped input needs the grouped folded kernel
         w1, _ = ConvParams((*self.kernel_size, self.in_channels,
                             self.out_channels), name="conv1")()
@@ -318,12 +389,14 @@ class FoldedEncoderBlockRes1B(nn.Module):
     fold: int
     kernel_size: Tuple[int, int] = (3, 3)
     momentum: float = 0.01
+    use_sparse_kernel: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, film, train: bool):
         encoded = FoldedConvBlockRes(
             self.in_channels, self.out_channels, self.fold,
             kernel_size=self.kernel_size, momentum=self.momentum,
+            use_sparse_kernel=self.use_sparse_kernel,
             name="conv_block1")(x, film["conv_block1"], train)
         return folded_avg_pool_2x2(encoded, self.fold), encoded
 
@@ -342,6 +415,7 @@ class FoldedDecoderBlockRes1B(nn.Module):
     input_is_folded: bool = False  # x already arrives at fold_in layout
     kernel_size: Tuple[int, int] = (3, 3)
     momentum: float = 0.01
+    use_sparse_kernel: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, skip_folded: jax.Array, film,
@@ -364,4 +438,5 @@ class FoldedDecoderBlockRes1B(nn.Module):
             self.out_channels + self.skip_channels, self.out_channels,
             s_out, in_groups=(self.out_channels, self.skip_channels),
             kernel_size=self.kernel_size, momentum=self.momentum,
+            use_sparse_kernel=self.use_sparse_kernel,
             name="conv_block2")(h, film["conv_block2"], train)
