@@ -146,7 +146,9 @@ def folded_after_conv_transposed(x: jax.Array, w: jax.Array,
 def folded_avg_pool_2x2(x: jax.Array, s: int) -> jax.Array:
     """2x2 avg pool on a (plain) fold-s tensor -> fold-s//2 tensor at
     (T/2, G). Channel-axis slicing instead of a fine-grained reshape keeps
-    the TPU layout intact (no copies)."""
+    the TPU layout intact (no copies). (A one-conv constant-kernel
+    formulation was tried and REGRESSED B=16 76.6 ms vs 55.2 — the conv
+    breaks XLA's surrounding fusion chains; keep the elementwise form.)"""
     b, t, g, sc = x.shape
     c = sc // s
     xt = nn.avg_pool(x, (2, 1), (2, 1))
