@@ -26,7 +26,7 @@ A100_PROXY_CLIPS_PER_SEC = 36.8
 def main():
     from lass_tpu.models.resunet import ResUNet30
 
-    batch = int(os.environ.get("BENCH_BATCH", "24"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     samples = 160000  # 10 s @ 16 kHz
 

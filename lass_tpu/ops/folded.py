@@ -368,6 +368,12 @@ class FoldedConvBlockRes(nn.Module):
         w1, _ = ConvParams((*self.kernel_size, self.in_channels,
                             self.out_channels), name="conv1")()
         h = folded_conv(h, w1, s, in_groups=groups)
+        # keep conv1 and conv2 in SEPARATE fusions: at B=24 XLA fused the
+        # conv1->act->conv2 chain into one kOutput fusion scheduled with
+        # EmitAllBatchInSublanes at 18.3M cycles (~12.6 ms vs ~4.8 expected,
+        # profiled) — the barrier blocks the double-conv fusion while the
+        # act+conv input fusions still form on each side
+        h = jax.lax.optimization_barrier(h)
         h = folded_bn_film_act(
             h, s, self.out_channels,
             BatchNorm(self.out_channels, self.momentum, name="bn2"),
