@@ -16,7 +16,8 @@ from lass_tpu.models.query_encoder import CLAPQueryEncoder
 
 def eval(evaluator: DCASEEvaluator, checkpoint_path: str,
          config_yaml: str = "config/audiosep_base.yaml",
-         query_encoder: CLAPQueryEncoder = None):
+         query_encoder: CLAPQueryEncoder = None,
+         data_parallel: bool = False):
     """Reference-compatible harness (dcase_evaluator.py:126-145)."""
     from lass_tpu.config import load_config
     from lass_tpu.tasks.audiosep import TrainState
@@ -29,7 +30,15 @@ def eval(evaluator: DCASEEvaluator, checkpoint_path: str,
                                          cfg.data.segment_samples,
                                          cfg.model.condition_size)
     query_encoder = query_encoder or CLAPQueryEncoder()
-    pl_model = SeparationInference(model, variables, query_encoder)
+    mesh = None
+    if data_parallel:
+        import jax
+
+        from lass_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices())
+    pl_model = SeparationInference(model, variables, query_encoder,
+                                   mesh=mesh)
 
     print("-------  Start Evaluation  -------")
     sisdr, sdri, sdr = evaluator(pl_model)
@@ -47,6 +56,9 @@ def main():
                         default="lass_synthetic_validation.csv")
     parser.add_argument("--audio_dir", type=str, default="lass_validation")
     parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard eval batches over all devices "
+                        "(batch_size must divide the device count)")
     args = parser.parse_args()
 
     evaluator = DCASEEvaluator(
@@ -55,7 +67,8 @@ def main():
         audio_dir=args.audio_dir,
         batch_size=args.batch_size,
     )
-    eval(evaluator, args.checkpoint_path, args.config_yaml)
+    eval(evaluator, args.checkpoint_path, args.config_yaml,
+         data_parallel=args.data_parallel)
 
 
 if __name__ == "__main__":

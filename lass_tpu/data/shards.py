@@ -153,11 +153,9 @@ def iter_tar_samples(path: str, handler=log_and_continue
 
 def _int16_roundtrip(x: np.ndarray) -> np.ndarray:
     """int16_to_float32(float32_to_int16(x)) (training/data.py:310-320):
-    the reference quantizes every clip through int16 on load."""
-    peak = np.max(np.abs(x)) if x.size else 0.0
-    if peak > 1.0:
-        x = x / peak
-    q = np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+    the reference quantizes every clip through int16 on load — clip to
+    [-1, 1], scale by 32767, truncate to int16, scale back."""
+    q = (np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int16)
     return (q / 32767.0).astype(np.float32)
 
 

@@ -126,7 +126,11 @@ class SeparationInference:
     (the evaluator-facing analog of the reference's loaded AudioSep)."""
 
     def __init__(self, model, variables, query_encoder,
-                 pad_multiple: int = 160):
+                 pad_multiple: int = 160, mesh=None):
+        """mesh: optional jax.sharding.Mesh — shards eval batches over the
+        'data' axis (replicated params), scaling evaluation across chips;
+        the DDP analog of the reference's single-GPU eval loop. Batch size
+        must divide by the data-axis size."""
         import jax
         import jax.numpy as jnp
 
@@ -134,14 +138,24 @@ class SeparationInference:
         self.variables = variables
         self.query_encoder = query_encoder
         self.pad_multiple = pad_multiple
+        self.mesh = mesh
 
-        @jax.jit
-        def forward(mixture, condition):
+        def apply(variables, mixture, condition):
             return model.apply(
                 variables, {"mixture": mixture, "condition": condition},
                 train=False)["waveform"]
 
-        self._forward = forward
+        if mesh is None:
+            fwd = jax.jit(lambda m, c: apply(variables, m, c))
+        else:
+            from lass_tpu.parallel.mesh import batch_sharding, replicated
+
+            bs, rep = batch_sharding(mesh), replicated(mesh)
+            variables = jax.device_put(variables, rep)
+            fwd = jax.jit(lambda m, c: apply(variables, m, c),
+                          in_shardings=(bs, bs), out_shardings=bs)
+
+        self._forward = fwd
         self._jnp = jnp
 
     def separate(self, mixtures: np.ndarray, conditions: np.ndarray

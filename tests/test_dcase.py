@@ -163,3 +163,32 @@ def test_evaluator_single_static_shape(tmp_path, rng):
     assert len(model.shapes) == 2  # 3 rows, batch 2 -> full + ragged batch
     assert len(set(model.shapes)) == 1, model.shapes
     assert model.shapes[0][0] == (2, 1, 16000)
+
+
+def test_separation_inference_mesh_parity(rng):
+    """SeparationInference(mesh=8-device DP) == single-device output."""
+    import jax
+    import jax.numpy as jnp
+
+    from lass_tpu.evaluation.dcase import SeparationInference
+    from lass_tpu.models.resunet import ResUNet30
+    from lass_tpu.parallel.mesh import make_mesh
+
+    model = ResUNet30(freq_fold=4)
+    batch = 8
+    ex = {"mixture": jnp.zeros((batch, 1, 16000), jnp.float32),
+          "condition": jnp.zeros((batch, 512), jnp.float32)}
+    variables = model.init(jax.random.PRNGKey(0), ex, train=False)
+
+    class Enc:
+        def get_query_embed(self, **kw):
+            raise NotImplementedError
+
+    mix = rng.randn(batch, 1, 16000).astype(np.float32) * 0.1
+    cond = rng.randn(batch, 512).astype(np.float32)
+    single = SeparationInference(model, variables, Enc())
+    sharded = SeparationInference(model, variables, Enc(),
+                                  mesh=make_mesh(jax.devices()[:8]))
+    want = single.separate(mix, cond)
+    got = sharded.separate(mix, cond)
+    np.testing.assert_allclose(got, want, atol=1e-5)
