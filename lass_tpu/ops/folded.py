@@ -143,19 +143,33 @@ def folded_after_conv_transposed(x: jax.Array, w: jax.Array,
     return l.reshape(b, t, g * s, j)
 
 
+@functools.lru_cache(maxsize=None)
+def _refold_matrix(s: int, c: int) -> np.ndarray:
+    """(s*c, (s//2)*c) constant averaging fold-neighbor channel pairs."""
+    p = np.zeros((s * c, (s // 2) * c), np.float32)
+    for r2 in range(s // 2):
+        for ch in range(c):
+            p[(2 * r2) * c + ch, r2 * c + ch] = 0.5
+            p[(2 * r2 + 1) * c + ch, r2 * c + ch] = 0.5
+    return p
+
+
 def folded_avg_pool_2x2(x: jax.Array, s: int) -> jax.Array:
     """2x2 avg pool on a (plain) fold-s tensor -> fold-s//2 tensor at
-    (T/2, G). Channel-axis slicing instead of a fine-grained reshape keeps
-    the TPU layout intact (no copies). (A one-conv constant-kernel
-    formulation was tried and REGRESSED B=16 76.6 ms vs 55.2 — the conv
-    breaks XLA's surrounding fusion chains; keep the elementwise form.)"""
+    (T/2, G): time via nn.avg_pool (stays fused in XLA), fold-pair
+    averaging via ONE matmul against a constant 0/0.5 matrix when s > 2 —
+    the slice-add-concat form wrote (s//2) 32-lane intermediates that
+    lane-pad 4x on TPU. (A fully-conv strided formulation was tried and
+    REGRESSED B=16 76.6 ms vs 55.2: strided convs schedule poorly and
+    break the surrounding fusion chains.)"""
     b, t, g, sc = x.shape
     c = sc // s
     xt = nn.avg_pool(x, (2, 1), (2, 1))
-    parts = [0.5 * (xt[..., (2 * k) * c:(2 * k + 1) * c]
-                    + xt[..., (2 * k + 1) * c:(2 * k + 2) * c])
-             for k in range(s // 2)]
-    return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+    if s == 2:
+        return 0.5 * (xt[..., :c] + xt[..., c:])
+    return jax.lax.dot_general(
+        xt, jnp.asarray(_refold_matrix(s, c)).astype(x.dtype),
+        dimension_numbers=(((3,), (0,)), ((), ())))
 
 
 @functools.lru_cache(maxsize=None)
