@@ -58,7 +58,7 @@ def main():
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard eval batches over all devices "
-                        "(batch_size must divide the device count)")
+                        "(the device count must divide batch_size)")
     args = parser.parse_args()
 
     evaluator = DCASEEvaluator(

@@ -50,7 +50,10 @@ SAMPLE_SHUFFLE_INITIAL = 1000
 
 
 def expand_shards(patterns: Sequence[str]) -> List[str]:
-    """Brace ranges (``{000000..000042}``, zero-padded like wds) + glob."""
+    """Brace ranges (``{000000..000042}``, zero-padded like wds) + glob.
+
+    Braces expand recursively (wds braceexpand supports multiple ranges in
+    one pattern, e.g. ``a{0..1}/b{00..02}.tar``)."""
     out: List[str] = []
     for pat in patterns:
         m = _BRACE.search(pat)
@@ -58,8 +61,8 @@ def expand_shards(patterns: Sequence[str]) -> List[str]:
             lo, hi = m.group(1), m.group(2)
             width = len(lo)
             for i in range(int(lo), int(hi) + 1):
-                out.append(pat[:m.start()] + str(i).zfill(width)
-                           + pat[m.end():])
+                out.extend(expand_shards(
+                    [pat[:m.start()] + str(i).zfill(width) + pat[m.end():]]))
         elif any(ch in pat for ch in "*?["):
             out.extend(sorted(_glob.glob(pat)))
         else:
@@ -251,18 +254,29 @@ class TarShardDataset:
             yield from self._iter_raw()
             return
         rng = random.Random(self.seed + self.epoch + 1)
-        threshold = min(self.shuffle_initial, self.shuffle_buffer)
+        initial = min(self.shuffle_initial, self.shuffle_buffer)
         buf: List[Dict[str, bytes]] = []
-        for sample in self._iter_raw():
+
+        def pick():
+            i = rng.randrange(len(buf))
+            buf[i], buf[-1] = buf[-1], buf[i]
+            return buf.pop()
+
+        # wds._shuffle semantics: keep filling toward `bufsize` (consuming
+        # an extra item per yield while below it), start yielding once
+        # `initial` items are buffered — steady-state buffer == bufsize.
+        it = self._iter_raw()
+        for sample in it:
             buf.append(sample)
-            # wds.shuffle: start yielding once `initial` items buffered;
-            # steady-state buffer size ~= initial, capped by bufsize
-            if len(buf) >= threshold:
-                i = rng.randrange(len(buf))
-                buf[i], buf[-1] = buf[-1], buf[i]
-                yield buf.pop()
-        rng.shuffle(buf)
-        yield from buf
+            if len(buf) < self.shuffle_buffer:
+                try:
+                    buf.append(next(it))
+                except StopIteration:
+                    pass
+            if len(buf) >= initial:
+                yield pick()
+        while buf:
+            yield pick()
 
     def preprocess(self, sample: Dict[str, bytes],
                    rng: np.random.Generator) -> Optional[Dict]:

@@ -130,9 +130,19 @@ def main():
                     num_workers=args.num_workers, seed=args.seed,
                     epoch=epoch, process_index=proc_idx,
                     process_count=proc_count)
+                yielded = 0
                 for batch in ds:
                     yield {"waveform": batch["waveform"],
                            "text": batch["raw_text"]}
+                    yielded += 1
+                if yielded == 0:
+                    # partial batches are dropped in train mode — a shard
+                    # split smaller than one batch would busy-spin forever
+                    raise RuntimeError(
+                        "train shards produced zero full batches for this "
+                        f"host (batch_size={args.batch_size // proc_count}, "
+                        f"host {proc_idx}/{proc_count}) — check the shard "
+                        "pattern / per-host split / batch size")
                 epoch += 1
 
         n_train = TarShardDataset(

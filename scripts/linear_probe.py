@@ -121,12 +121,19 @@ def main():
         optax.scale_by_learning_rate(lambda s: args.lr * schedule(s)))
     opt_state = optimizer.init(params["lp_layer"])
 
+    dropout_base = jax.random.PRNGKey(args.seed + 1)
+
     @jax.jit
-    def train_step(params, opt_state, wav, target):
+    def train_step(params, opt_state, wav, target, step):
+        # --mlp probe heads contain nn.Dropout, which needs a per-step
+        # 'dropout' PRNG stream in train mode
+        dropout_key = jax.random.fold_in(dropout_base, step)
+
         def compute(lp_params):
             logits = probe.apply(
                 {"params": dict(params, lp_layer=lp_params),
-                 "batch_stats": batch_stats}, wav, True)
+                 "batch_stats": batch_stats}, wav, True,
+                rngs={"dropout": dropout_key})
             return loss_fn(logits, target)
 
         loss, grads = jax.value_and_grad(compute)(params["lp_layer"])
@@ -177,7 +184,7 @@ def main():
         for batch in batches(args.train_shards, train=True, epoch=epoch):
             params, opt_state, loss = train_step(
                 params, opt_state, jnp.asarray(batch["waveform"]),
-                jnp.asarray(batch["class_label"]))
+                jnp.asarray(batch["class_label"]), step)
             step += 1
             if step == 1 or step % 50 == 0:
                 row = {"lp_loss": float(loss)}

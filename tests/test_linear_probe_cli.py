@@ -39,7 +39,7 @@ def test_linear_probe_cli(tmp_path):
          "--train_shards", str(tmp_path / "train-000000.tar"),
          "--val_shards", str(tmp_path / "train-000000.tar"),
          "--class_index", str(tmp_path / "classes.json"),
-         "--amodel", "HTSAT-tiny", "--batch_size", "2",
+         "--amodel", "HTSAT-tiny", "--mlp", "--batch_size", "2",
          "--clip_seconds", "0.5", "--max_steps", "2", "--eval_every", "2",
          "--num_workers", "1"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900)

@@ -53,6 +53,31 @@ def test_expand_shards_brace_and_glob(tmp_path):
     assert [os.path.basename(p) for p in got] == ["s1.tar", "s2.tar"]
 
 
+def test_expand_shards_multi_brace():
+    got = expand_shards(["/x/{0..1}/t-{00..02}.tar"])
+    assert got == [f"/x/{i}/t-{j:02d}.tar"
+                   for i in range(2) for j in range(3)]
+
+
+def test_sample_shuffle_fills_buffer_to_bufsize():
+    """wds._shuffle parity: the steady-state shuffle buffer grows to
+    `bufsize` (not `initial`), so late items can land early in the order."""
+    ds = TarShardDataset.__new__(TarShardDataset)
+    ds.train = True
+    ds.seed = 0
+    ds.epoch = 0
+    ds.shuffle_buffer = 50
+    ds.shuffle_initial = 10
+    items = [{"i": i} for i in range(200)]
+    ds._iter_raw = lambda: iter(items)
+    out = list(TarShardDataset._iter_shuffled(ds))
+    assert sorted(x["i"] for x in out) == list(range(200))
+    # with a buffer of 50, some of the first 10 emitted items should come
+    # from beyond the first `initial + 1` raw items (impossible with the
+    # old initial-sized steady-state buffer)
+    assert max(x["i"] for x in out[:10]) > 11
+
+
 def test_iter_tar_samples_groups_by_key(shard_dir):
     samples = list(iter_tar_samples(str(shard_dir / "train-000000.tar")))
     assert len(samples) == 6
