@@ -41,6 +41,11 @@ from lass_tpu.nn.layers import BatchNorm, leaky_relu, xavier_uniform
 # Opt-in fused Pallas conv-block (read ONCE at import; trace-time env reads
 # are a footgun if the flag flips between traces of the same program)
 _FUSED_CONV_BLOCK = os.environ.get("LASS_TPU_FUSED_CONV_BLOCK") == "1"
+# Decomposed (center + corner) folded 3x3 convs — default ON (measured
+# faster on v5e: the dense folded kernel runs at peak MXU, so cutting its
+# structural-zero FLOPs in half wins); LASS_TPU_DECOMPOSED_CONV=0 reverts
+# to the dense folded kernel (also latched at import).
+_DECOMPOSED_CONV = os.environ.get("LASS_TPU_DECOMPOSED_CONV", "1") != "0"
 
 
 
@@ -110,6 +115,67 @@ def folded_conv(x: jax.Array, w: jax.Array, s: int,
         cout = w.shape[-1]
         y = y + jnp.tile(bias, s).astype(y.dtype)
     return y
+
+
+def _shift_g(x: jax.Array, direction: int) -> jax.Array:
+    """Zero-fill shift along the folded-frequency (G) axis:
+    direction=+1 -> out[g] = x[g-1] (zero at g=0), matching the SAME-pad
+    semantics of the dense folded conv's D=-1 tap."""
+    g = x.shape[2]
+    if direction == +1:
+        return jnp.pad(x, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :g]
+    return jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 0)))[:, :, 1:]
+
+
+def folded_conv_decomposed(x: jax.Array, w: jax.Array, s: int,
+                           in_groups: Optional[Sequence[int]] = None
+                           ) -> jax.Array:
+    """`folded_conv` with the 4x structural-FLOPs blow-up cut to ~2x.
+
+    The dense folded kernel (3, 3, s*Cin, s*Cout) is 75% zeros at s=4:
+    the D=0 freq-group tap is fold-tridiagonal (10/16 blocks) while the
+    D=+-1 taps each hold ONE (Cin, Cout) block (see the derivation in the
+    module docstring). Profiled on v5e, XLA runs the dense kernel at peak
+    MXU (~194 TFLOP/s), so the only lever is executing fewer FLOPs:
+
+      y = conv3x1(x, K_D0)            # 3/9 of the dense taps, fully used
+        + conv3x1(x_side, K_corner)   # the 2 cross-group blocks per group
+
+    where x_side stacks the G-shifted boundary fold-slot lanes (last
+    logical-channel slice of each group shifted g-1 -> g, first slice
+    shifted g+1 -> g — pure slice/pad ops that fuse into the corner
+    conv's input) and K_corner holds the matching W[-1]/W[+1] rows. Both
+    convs keep K >= 64 and N = s*Cout on the MXU, numerics are EXACT
+    (same taps, same summation structure, verified vs folded_conv in
+    tests/test_folded.py), and total matmul FLOPs drop to
+    (3*s*Cin + 3*2*Cin) / (9*s*Cin) = 50% at s=4."""
+    kh, kw, cin_total, cout = w.shape
+    if kw != 3 or kh != 3 or s == 1:
+        return folded_conv(x, w, s, in_groups=in_groups)
+    groups = list(in_groups) if in_groups else [cin_total]
+    kf = fold_conv_kernel(w, s, in_groups)  # (3, 3, s*Cin, s*Cout)
+
+    y = jax.lax.conv_general_dilated(
+        x, kf[:, 1:2].astype(x.dtype), window_strides=(1, 1),
+        padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    sides = []
+    k_rows = []
+    off = 0
+    for cl in groups:
+        cg = s * cl
+        # D=-1 tap: y(g) += x(g-1, fold s-1) @ W[df=-1]
+        sides.append(_shift_g(x[..., off + cg - cl:off + cg], +1))
+        k_rows.append(kf[:, 0, off + cg - cl:off + cg])
+        # D=+1 tap: y(g) += x(g+1, fold 0) @ W[df=+1]
+        sides.append(_shift_g(x[..., off:off + cl], -1))
+        k_rows.append(kf[:, 2, off:off + cl])
+        off += cg
+    x_side = jnp.concatenate(sides, axis=-1)
+    k_side = jnp.concatenate(k_rows, axis=1)[:, None]  # (3, 1, K_side, sC')
+    return y + jax.lax.conv_general_dilated(
+        x_side, k_side.astype(x.dtype), window_strides=(1, 1),
+        padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def folded_after_conv_transposed(x: jax.Array, w: jax.Array,
@@ -378,10 +444,11 @@ class FoldedConvBlockRes(nn.Module):
     def _xla_tail(self, x, h, film, train):
         s = self.fold
         groups = self.in_groups
+        conv3 = folded_conv_decomposed if _DECOMPOSED_CONV else folded_conv
         # layout preserved: grouped input needs the grouped folded kernel
         w1, _ = ConvParams((*self.kernel_size, self.in_channels,
                             self.out_channels), name="conv1")()
-        h = folded_conv(h, w1, s, in_groups=groups)
+        h = conv3(h, w1, s, in_groups=groups)
         # keep conv1 and conv2 in SEPARATE fusions: at B=24 XLA fused the
         # conv1->act->conv2 chain into one kOutput fusion scheduled with
         # EmitAllBatchInSublanes at 18.3M cycles (~12.6 ms vs ~4.8 expected,
@@ -394,7 +461,7 @@ class FoldedConvBlockRes(nn.Module):
             film["beta2"], train)
         w2, _ = ConvParams((*self.kernel_size, self.out_channels,
                             self.out_channels), name="conv2")()
-        h = folded_conv(h, w2, s)
+        h = conv3(h, w2, s)
         if self.in_channels != self.out_channels:
             ws, bs = ConvParams((1, 1, self.in_channels, self.out_channels),
                                 use_bias=True, name="shortcut")()

@@ -96,3 +96,20 @@ def test_resunet_folded_equals_unfolded(rng):
             jax.tree_util.tree_flatten_with_path(m2["batch_stats"])[0]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                    err_msg=jax.tree_util.keystr(k1))
+
+
+@pytest.mark.parametrize("s,groups", [(2, None), (4, None), (4, (32, 32)),
+                                      (2, (16, 48))])
+def test_folded_conv_decomposed_matches_dense(s, groups, rng):
+    """Center+corner decomposition (folded_conv_decomposed) is exact vs
+    the dense folded kernel for all fold/group shapes the model uses."""
+    from lass_tpu.ops.folded import folded_conv, folded_conv_decomposed
+
+    cin = sum(groups) if groups else 32
+    cout = 24
+    x = jnp.asarray(rng.randn(2, 8, 16, s * cin).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32) * 0.1)
+    dense = folded_conv(x, w, s, in_groups=groups)
+    dec = folded_conv_decomposed(x, w, s, in_groups=groups)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(dense),
+                               atol=1e-5)
