@@ -1,7 +1,8 @@
 """Headline benchmark: 10 s 16 kHz clips separated per second on one chip.
 
 Prints exactly ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "parity_rel_err": r, "train_steps_per_sec": T, "train_vs_baseline": N}
 
 Baseline note (BASELINE.md): the reference publishes no inference throughput.
 The only derivable A100 number is the implied training throughput — 200k
@@ -10,8 +11,20 @@ steps/day at batch 16 => ~2.3 steps/s => 36.8 clips/s trained. We use that
 per chip; a measured A100 inference number would be higher than this proxy,
 so re-measure when the reference stack is runnable).
 
+On-hardware numerical gate: the same fixed-seed forward that is timed is
+compared against a committed CPU float32/Precision.HIGHEST golden
+(tests/golden/bench_forward_b16.npz, regenerate with
+scripts/make_bench_golden.py). This catches Mosaic/bf16 regressions that
+CPU-only tests (which run Pallas in interpret mode) cannot see. The bench
+FAILS (nonzero exit) when the relative error exceeds the committed
+tolerance.
+
+Training throughput: one full jitted train step (device-side mixing +
+fwd/bwd + torch-exact AMSGrad) at batch 16 — the analog of the reference's
+only published perf number (~2.3 steps/s implied, README.md:65).
+
 Run with the default (axon/TPU) environment. Use BENCH_BATCH / BENCH_ITERS
-to override.
+to override; BENCH_TRAIN=0 skips the train-step measurement.
 """
 import json
 import os
@@ -19,17 +32,39 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 A100_PROXY_CLIPS_PER_SEC = 36.8
+A100_PROXY_TRAIN_STEPS_PER_SEC = 2.3
+
+GOLDEN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "golden", "bench_forward_b16.npz")
 
 
-def main():
+def check_parity(out_full: np.ndarray, result: dict) -> None:
+    """Compare the timed forward's output against the committed CPU
+    HIGHEST golden; record rel err and fail loudly above tolerance."""
+    golden = np.load(GOLDEN_PATH)
+    stride = int(golden["stride"])
+    ref = golden["values"].astype(np.float64)
+    got = out_full.reshape(-1)[::stride].astype(np.float64)
+    if got.shape != ref.shape:
+        result["parity"] = (f"shape mismatch: {got.shape} vs {ref.shape}")
+        return
+    rel = float(np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-30))
+    result["parity_rel_err"] = round(rel, 6)
+    result["parity_tol"] = float(golden["tol"])
+    if rel > float(golden["tol"]):
+        print(json.dumps(result))
+        raise SystemExit(
+            f"PARITY FAILURE: rel_err {rel:.3e} > tol "
+            f"{float(golden['tol']):.3e} vs CPU HIGHEST golden")
+
+
+def bench_forward(result: dict, batch: int, iters: int) -> None:
     from lass_tpu.models.resunet import ResUNet30
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
     samples = 160000  # 10 s @ 16 kHz
-
     model = ResUNet30(compute_dtype=jnp.bfloat16)
     example = {
         "mixture": jnp.zeros((batch, 1, samples), jnp.float32),
@@ -63,12 +98,72 @@ def main():
     dt = time.perf_counter() - t0
 
     clips_per_sec = batch * iters / dt
-    print(json.dumps({
-        "metric": "sep_10s_clips_per_sec_per_chip",
-        "value": round(clips_per_sec, 2),
-        "unit": "clips/s",
-        "vs_baseline": round(clips_per_sec / A100_PROXY_CLIPS_PER_SEC, 2),
-    }))
+    result["metric"] = "sep_10s_clips_per_sec_per_chip"
+    result["value"] = round(clips_per_sec, 2)
+    result["unit"] = "clips/s"
+    result["vs_baseline"] = round(clips_per_sec / A100_PROXY_CLIPS_PER_SEC, 2)
+
+    # numerical gate on the EXACT forward that was timed (same jit, same
+    # inputs) — golden is committed for the default batch only
+    if batch == 16 and os.path.exists(GOLDEN_PATH):
+        out_full = np.asarray(forward(mixture, condition))
+        check_parity(out_full, result)
+    else:
+        result["parity"] = "skipped (non-default batch or missing golden)"
+
+
+def bench_train(result: dict, batch: int, iters: int) -> None:
+    from lass_tpu.data.mixer import SegmentMixer
+    from lass_tpu.models.resunet import ResUNet30
+    from lass_tpu.tasks.audiosep import AudioSepTask
+    from lass_tpu.train.optim import build_optimizer
+
+    samples = 160000
+    task = AudioSepTask(
+        model=ResUNet30(compute_dtype=jnp.bfloat16),
+        mixer=SegmentMixer(max_mix_num=2, lower_db=-10, higher_db=10),
+        optimizer=build_optimizer("AdamW", 1e-3, "linear_warm_up",
+                                  10000, 1000000),
+    )
+    state = task.init_state(jax.random.PRNGKey(0), samples)
+    step_fn = jax.jit(task.train_step, donate_argnums=(0,))
+
+    key = jax.random.PRNGKey(2)
+    batch_data = {
+        "waveform": jax.random.normal(
+            key, (batch, 1, samples), jnp.float32) * 0.1,
+        "condition": jax.random.normal(key, (batch, 512), jnp.float32),
+    }
+    rng = jax.random.PRNGKey(3)
+
+    state, metrics = step_fn(state, batch_data, rng)  # compile + warm
+    float(metrics["train_loss"])
+    state, metrics = step_fn(state, batch_data, rng)
+    float(metrics["train_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step_fn(state, batch_data, rng)
+    loss = float(metrics["train_loss"])
+    dt = time.perf_counter() - t0
+
+    assert np.isfinite(loss), loss
+    steps_per_sec = iters / dt
+    result["train_steps_per_sec"] = round(steps_per_sec, 3)
+    result["train_batch"] = batch
+    result["train_vs_baseline"] = round(
+        steps_per_sec / A100_PROXY_TRAIN_STEPS_PER_SEC, 2)
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    result = {}
+    bench_forward(result, batch, iters)
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        bench_train(result, batch, max(4, iters // 2))
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
