@@ -193,6 +193,54 @@ def convert_hf_roberta_state(sd: StateDict, num_layers: int
     return params
 
 
+def convert_hf_bert_state(sd: StateDict, num_layers: int) -> Dict[str, Any]:
+    """HF BertModel state dict -> lass_tpu BertModel params. HF's
+    BertModel and RobertaModel use identical parameter names
+    (embeddings.* / encoder.layer.N.* / pooler.dense), so the mapping is
+    the roberta one (open_clip/model.py:503 'bert' branch)."""
+    return convert_hf_roberta_state(sd, num_layers)
+
+
+def convert_hf_bart_encoder_state(sd: StateDict, num_layers: int = 6
+                                  ) -> Dict[str, Any]:
+    """HF BartModel state dict (encoder side) -> lass_tpu BartEncoderModel
+    params with fused QKV (open_clip/model.py:533 'bart' branch)."""
+    sd = to_numpy_state_dict(sd)
+    if any(k.startswith("model.") for k in sd):
+        sd = strip_prefix(sd, "model.")
+    tok = sd.get("shared.weight", sd.get("encoder.embed_tokens.weight"))
+    params: Dict[str, Any] = {
+        "embed_tokens": {"embedding": tok},
+        "embed_positions": {
+            "embedding": sd["encoder.embed_positions.weight"]},
+        "layernorm_embedding": {
+            "scale": sd["encoder.layernorm_embedding.weight"],
+            "bias": sd["encoder.layernorm_embedding.bias"]},
+    }
+    for i in range(num_layers):
+        e = f"encoder.layers.{i}"
+        qkv_w = np.concatenate([sd[f"{e}.self_attn.q_proj.weight"],
+                                sd[f"{e}.self_attn.k_proj.weight"],
+                                sd[f"{e}.self_attn.v_proj.weight"]], 0)
+        qkv_b = np.concatenate([sd[f"{e}.self_attn.q_proj.bias"],
+                                sd[f"{e}.self_attn.k_proj.bias"],
+                                sd[f"{e}.self_attn.v_proj.bias"]], 0)
+        params[f"layer_{i}"] = {
+            "attention": {
+                "qkv": {"kernel": _t(qkv_w), "bias": qkv_b},
+                "out": _linear(sd, f"{e}.self_attn.out_proj"),
+            },
+            "attention_ln": {
+                "scale": sd[f"{e}.self_attn_layer_norm.weight"],
+                "bias": sd[f"{e}.self_attn_layer_norm.bias"]},
+            "intermediate": _linear(sd, f"{e}.fc1"),
+            "output": _linear(sd, f"{e}.fc2"),
+            "output_ln": {"scale": sd[f"{e}.final_layer_norm.weight"],
+                          "bias": sd[f"{e}.final_layer_norm.bias"]},
+        }
+    return params
+
+
 def _dense_from_conv1x1(w: Array) -> Array:
     """torch Conv1d k=1 (O, I, 1) or Conv2d 1x1 (O, I, 1, 1) -> Dense
     kernel (I, O)."""
@@ -431,18 +479,27 @@ def convert_pretrained_audio(ckpt: Any, amodel_name: str, filename: str
     return convert_htsat(branch)
 
 
-def convert_clap_text_encoder(sd: StateDict, num_layers: int = 12
+def convert_clap_text_encoder(sd: StateDict, num_layers: int = 12,
+                              model_type: str = "roberta"
                               ) -> Dict[str, Any]:
-    """CLAP checkpoint -> CLAPTextEncoder params: roberta text_branch +
-    2-layer text_projection MLP (open_clip/model.py:517-531)."""
+    """CLAP checkpoint -> CLAP*TextEncoder params: text_branch
+    (roberta/bert/bart, open_clip/model.py:475-549) + 2-layer
+    text_projection MLP (:517-531)."""
     sd = to_numpy_state_dict(sd)
     if any(k.startswith("module.") for k in sd):
         sd = strip_prefix(sd, "module.")
-    roberta_sd = strip_prefix(sd, "text_branch.")
-    return {
-        "roberta": convert_hf_roberta_state(roberta_sd, num_layers),
-        "text_projection": {
-            "fc1": _linear(sd, "text_projection.0"),
-            "fc2": _linear(sd, "text_projection.2"),
-        },
+    branch_sd = strip_prefix(sd, "text_branch.")
+    if model_type == "roberta":
+        branch = {"roberta": convert_hf_roberta_state(branch_sd, num_layers)}
+    elif model_type == "bert":
+        branch = {"bert": convert_hf_bert_state(branch_sd, num_layers)}
+    elif model_type == "bart":
+        branch = {"bart": convert_hf_bart_encoder_state(branch_sd,
+                                                        num_layers)}
+    else:
+        raise NotImplementedError(f"text model_type '{model_type}'")
+    branch["text_projection"] = {
+        "fc1": _linear(sd, "text_projection.0"),
+        "fc2": _linear(sd, "text_projection.2"),
     }
+    return branch

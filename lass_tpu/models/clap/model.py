@@ -50,6 +50,52 @@ class CLAPTextEncoder(nn.Module):
         return proj / jnp.maximum(norm, 1e-12)
 
 
+class CLAPBertTextEncoder(nn.Module):
+    """BERT text branch: pooler_output -> text_projection -> normalize
+    (model.py:503-516 construction, :644-657 encode_text 'bert')."""
+
+    bert_cfg: Any = None  # BertConfig; None -> bert-base-uncased
+    joint_embed_dim: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array, attention_mask: jax.Array,
+                 token_type_ids: Optional[jax.Array] = None) -> jax.Array:
+        from lass_tpu.models.clap.bert import BertConfig, BertModel
+
+        cfg = self.bert_cfg or BertConfig()
+        _, pooled = BertModel(cfg, self.dtype, name="bert")(
+            input_ids, attention_mask, token_type_ids)
+        proj = MLPProjection(self.joint_embed_dim, self.dtype,
+                             name="text_projection")(pooled)
+        norm = jnp.linalg.norm(proj, axis=-1, keepdims=True)
+        return proj / jnp.maximum(norm, 1e-12)
+
+
+class CLAPBartTextEncoder(nn.Module):
+    """BART text branch: mean over encoder_last_hidden_state ->
+    text_projection -> normalize (model.py:533-546, :666-676 — the
+    reference's mean is over ALL positions including padding, reproduced
+    verbatim)."""
+
+    bart_cfg: Any = None  # BartConfig; None -> facebook/bart-base
+    joint_embed_dim: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array, attention_mask: jax.Array
+                 ) -> jax.Array:
+        from lass_tpu.models.clap.bert import BartConfig, BartEncoderModel
+
+        cfg = self.bart_cfg or BartConfig()
+        hidden = BartEncoderModel(cfg, self.dtype, name="bart")(
+            input_ids, attention_mask)
+        proj = MLPProjection(self.joint_embed_dim, self.dtype,
+                             name="text_projection")(jnp.mean(hidden, axis=1))
+        norm = jnp.linalg.norm(proj, axis=-1, keepdims=True)
+        return proj / jnp.maximum(norm, 1e-12)
+
+
 class CLAPAudioEncoder(nn.Module):
     """48 kHz waveform (B, L) -> normalized 512-d joint embedding:
     HTSAT 'embedding' + audio_projection MLP + normalize
