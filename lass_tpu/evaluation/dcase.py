@@ -177,7 +177,8 @@ class SeparationInference:
         """Arbitrary-length (1, 1, L) separation via batched overlapping
         windows (reference ResUNet30.chunk_inference, resunet.py:655-714
         — but all windows run as ONE batched forward)."""
-        from lass_tpu.models.chunk import ChunkConfig, chunk_inference
+        from lass_tpu.models.chunk import (
+            ChunkConfig, chunk_inference, chunk_inference_device)
 
         jnp = self._jnp
         cfg = chunk_cfg or ChunkConfig()
@@ -186,5 +187,13 @@ class SeparationInference:
             return self._forward(input_dict["mixture"],
                                  input_dict["condition"])
 
+        if self.mesh is None:
+            # split/forwards/stitch in ONE jit, device-resident
+            out = chunk_inference_device(
+                apply_fn, jnp.asarray(mixture), jnp.asarray(condition),
+                cfg, max_batch)
+            return np.asarray(out)
+        # sharded eval forward has fixed in_shardings; keep the
+        # host-stitch oracle path there
         return chunk_inference(apply_fn, jnp.asarray(mixture),
                                jnp.asarray(condition), cfg, max_batch)

@@ -74,3 +74,61 @@ def chunk_inference(
         hi = window if i == n_chunks - 1 else window - nr
         out[s + lo:s + hi] = sep[i, lo:hi]
     return out[None, :length]
+
+
+def chunk_inference_device(
+    apply_fn,
+    mixture: jax.Array,
+    condition: jax.Array,
+    cfg: ChunkConfig = ChunkConfig(),
+    max_batch: int = 16,
+) -> jax.Array:
+    """`chunk_inference` with the window split, per-group forwards, and
+    center stitching all inside ONE jit (SURVEY §5.7's lax.map-over-windows
+    design): no host round-trips between groups, device-resident output.
+
+    The stitch is a pure reshape: consecutive windows' kept regions
+    ([nl, window-nr), plus the first window's left edge and last window's
+    right tail) tile [0, padded_len) exactly, because the hop equals
+    window - nl - nr. The numpy-stitch `chunk_inference` is the oracle
+    (tests/test_chunk.py pins equality). Returns (1, L) on device."""
+    nl = int(cfg.NL * cfg.RATE)
+    nc = int(cfg.NC * cfg.RATE)
+    nr = int(cfg.NR * cfg.RATE)
+    window = nl + nc + nr
+    length = mixture.shape[-1]
+
+    @jax.jit
+    def run(x, cond):
+        if length <= window:
+            return apply_fn({"mixture": x, "condition": cond})[:, 0, :length]
+        n_chunks = int(np.ceil((length - window) / nc)) + 1
+        padded_len = (n_chunks - 1) * nc + window
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, padded_len - length)))[0, 0]
+        idx = (np.arange(n_chunks)[:, None] * nc
+               + np.arange(window)[None, :])
+        chunks = xp[jnp.asarray(idx)][:, None, :]  # (n_chunks, 1, window)
+
+        groups = -(-n_chunks // max_batch)
+        pad_chunks = groups * max_batch - n_chunks
+        chunks = jnp.pad(chunks, ((0, pad_chunks), (0, 0), (0, 0)))
+        grouped = chunks.reshape(groups, max_batch, 1, window)
+        cond_b = jnp.broadcast_to(cond, (max_batch, cond.shape[-1]))
+
+        def one_group(ch):
+            return apply_fn({"mixture": ch, "condition": cond_b})[:, 0]
+
+        if groups == 1:
+            sep = one_group(grouped[0])
+        else:
+            sep = jax.lax.map(one_group, grouped).reshape(-1, window)
+        sep = sep[:n_chunks]
+
+        out = jnp.concatenate([
+            sep[0, :nl],
+            sep[:, nl:window - nr].reshape(-1),
+            sep[-1, window - nr:],
+        ])
+        return out[None, :length]
+
+    return run(mixture, condition)

@@ -4,7 +4,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from lass_tpu.models.chunk import ChunkConfig, chunk_inference
+from lass_tpu.models.chunk import (
+    ChunkConfig, chunk_inference, chunk_inference_device)
 
 
 def scaling_apply_fn(input_dict):
@@ -31,6 +32,47 @@ def test_long_input_stitching(rng):
     assert out.shape == (1, length)
     # the stub is linear and windowing covers every sample -> exact halves
     np.testing.assert_allclose(out, np.asarray(x)[:, 0] * 0.5, atol=1e-6)
+
+
+@pytest.mark.parametrize("length,max_batch", [(400, 3), (2050, 3),
+                                              (2050, 16), (1700, 2)])
+def test_device_chunking_matches_numpy_oracle(rng, length, max_batch):
+    """The one-jit device path (split + lax.map groups + reshape stitch)
+    must equal the host-stitch oracle bit-for-bit."""
+    x = jnp.asarray(rng.randn(1, 1, length).astype(np.float32))
+    cond = jnp.asarray(rng.randn(1, 512).astype(np.float32))
+    oracle = chunk_inference(scaling_apply_fn, x, cond, CFG,
+                             max_batch=max_batch)
+    got = chunk_inference_device(scaling_apply_fn, x, cond, CFG,
+                                 max_batch=max_batch)
+    assert got.shape == (1, length)
+    np.testing.assert_array_equal(np.asarray(got), oracle)
+
+
+def test_separate_long_uses_device_path(rng):
+    """SeparationInference.separate_long routes through the device path
+    (mesh=None) and matches the oracle on a real (tiny) model."""
+    from lass_tpu.evaluation.dcase import SeparationInference
+    from lass_tpu.models.resunet import ResUNet30
+
+    model = ResUNet30(freq_fold=1)
+    cfg = ChunkConfig(NL=0.1, NC=0.2, NR=0.1, RATE=16000)
+    length = 16000
+    x = rng.randn(1, 1, length).astype(np.float32) * 0.1
+    cond = rng.randn(1, 512).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        {"mixture": jnp.asarray(x), "condition": jnp.asarray(cond)},
+        train=False)
+
+    def apply_fn(d):
+        return model.apply(variables, d, train=False)["waveform"]
+
+    oracle = chunk_inference(apply_fn, jnp.asarray(x), jnp.asarray(cond),
+                             cfg, max_batch=2)
+    infer = SeparationInference(model, variables, query_encoder=None)
+    got = infer.separate_long(x, cond, chunk_cfg=cfg, max_batch=2)
+    np.testing.assert_allclose(got, oracle, atol=1e-5)
 
 
 def test_full_model_chunked_matches_direct(rng):
