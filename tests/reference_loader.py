@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import importlib
 import importlib.machinery
+import importlib.util
 import sys
 import types
 
@@ -208,3 +209,71 @@ def load_reference_htsat():
     _synthetic_package("ref_open_clip",
                        f"{REFERENCE_ROOT}/models/CLAP/open_clip")
     return importlib.import_module("ref_open_clip.htsat")
+
+
+def _install_librosa_stub() -> None:
+    """librosa.load on top of this repo's wav reader + resampler —
+    the evaluator only calls librosa.load(path, sr=..., mono=True)
+    (dcase_evaluator.py:73-74)."""
+    if "librosa" in sys.modules:
+        return
+    from lass_tpu.audio.io import read_wav
+    from lass_tpu.audio.resample import resample_np
+
+    lib = _module("librosa")
+
+    def load(path, sr=22050, mono=True):
+        audio, rate = read_wav(path)
+        out = audio.mean(axis=0) if (mono and audio.shape[0] > 1) \
+            else audio[0]
+        if sr is not None and rate != sr:
+            out = resample_np(out, rate, sr)
+            rate = sr
+        return out.astype(np.float32), rate
+
+    lib.load = load
+    sys.modules["librosa"] = lib
+
+
+def load_reference_dcase_evaluator():
+    """Import the ACTUAL reference dcase_evaluator.py with its heavy /
+    unavailable deps stubbed: librosa (wav load), lightning.pytorch (only
+    a type annotation), models.clap_encoder + models.audiosep (the
+    evaluator's __call__ touches neither — the pl_model is injected)."""
+    _install_torchlibrosa_stub()
+    _install_librosa_stub()
+
+    if "lightning" not in sys.modules:
+        lightning = _module("lightning")
+        pl = _module("lightning.pytorch")
+        pl.LightningModule = object
+        lightning.pytorch = pl
+        sys.modules["lightning"] = lightning
+        sys.modules["lightning.pytorch"] = pl
+
+    _synthetic_package("models", f"{REFERENCE_ROOT}/models")
+    if "models.clap_encoder" not in sys.modules:
+        stub = _module("models.clap_encoder")
+        stub.CLAP_Encoder = object
+        sys.modules["models.clap_encoder"] = stub
+    if "models.audiosep" not in sys.modules:
+        stub = _module("models.audiosep")
+        stub.AudioSep = object
+        stub.get_model_class = lambda *a, **k: None
+        sys.modules["models.audiosep"] = stub
+
+    if "utils" not in sys.modules:
+        loader = importlib.machinery.SourceFileLoader(
+            "utils", f"{REFERENCE_ROOT}/utils.py")
+        spec = importlib.util.spec_from_loader("utils", loader)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["utils"] = mod
+        loader.exec_module(mod)
+
+    loader = importlib.machinery.SourceFileLoader(
+        "ref_dcase_evaluator", f"{REFERENCE_ROOT}/dcase_evaluator.py")
+    spec = importlib.util.spec_from_loader("ref_dcase_evaluator", loader)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_dcase_evaluator"] = mod
+    loader.exec_module(mod)
+    return mod

@@ -320,3 +320,77 @@ def test_pann_fusion_forward_parity(rng, fusion_type):
         ours = np.asarray(out[key])
         assert ours.shape == ref_v.shape, (key, ours.shape, ref_v.shape)
         assert rel_err(ours, ref_v) <= 1e-4, (key, rel_err(ours, ref_v))
+
+
+# ---------------------------------------------------------------------------
+# Evaluator vs evaluator: the ACTUAL reference DCASEEvaluator loop against
+# lass_tpu.evaluation.dcase on the same CSV + wavs + converted separator
+# ---------------------------------------------------------------------------
+
+def _caption_embedding(caption: str) -> np.ndarray:
+    """Deterministic per-caption 512-d embedding shared by both mocks."""
+    seed = int.from_bytes(caption.encode()[:4].ljust(4, b"\0"), "little")
+    return (np.random.RandomState(seed).randn(512) * 0.3).astype(np.float32)
+
+
+def test_dcase_evaluator_end_to_end_parity(resunet_pair, rng, tmp_path):
+    """Runs reference dcase_evaluator.DCASEEvaluator.__call__
+    (/root/reference/dcase_evaluator.py:49-122) and the lass_tpu evaluator
+    over the SAME fabricated CSV + wavs with the SAME converted separator
+    and the same (mocked, deterministic) text embeddings; SISDR/SDRi/SDR
+    must agree to ~1e-3 dB — the end-to-end form of the +-0.05 dB gate."""
+    from reference_loader import load_reference_dcase_evaluator
+
+    from lass_tpu.evaluation.dcase import DCASEEvaluator, SeparationInference
+    from lass_tpu.models.resunet import ResUNet30
+
+    ref_model, variables = resunet_pair
+    ref_eval_mod = load_reference_dcase_evaluator()
+
+    from lass_tpu.audio.io import write_wav
+
+    sr, n = 16000, 16000  # 1 s clips: identical static shapes on both sides
+    rows = ["source,noise,snr,caption"]
+    for i, snr in enumerate([0, 5, -3]):
+        src = (rng.randn(1, n) * 0.2).astype(np.float32)
+        noi = (rng.randn(1, n) * 0.2).astype(np.float32)
+        write_wav(str(tmp_path / f"s{i}.wav"), src, sr)
+        write_wav(str(tmp_path / f"n{i}.wav"), noi, sr)
+        rows.append(f"s{i},n{i},{snr},evaluation caption {i}")
+    csv_path = tmp_path / "eval.csv"
+    csv_path.write_text("\n".join(rows) + "\n")
+
+    class RefQueryEncoder:
+        def get_query_embed(self, modality, text, device=None):
+            assert modality == "text"
+            embs = np.stack([_caption_embedding(t) for t in text])
+            return torch.from_numpy(embs)
+
+    class RefPLModel:
+        device = "cpu"
+        query_encoder = RefQueryEncoder()
+        ss_model = ref_model
+
+        def eval(self):
+            return self
+
+    ref_evaluator = ref_eval_mod.DCASEEvaluator(
+        sampling_rate=sr, eval_indexes=str(csv_path),
+        audio_dir=str(tmp_path))
+    ref_sisdr, ref_sdri, ref_sdr = ref_evaluator(RefPLModel())
+
+    class JaxQueryEncoder:
+        def get_query_embed(self, modality, text):
+            assert modality == "text"
+            return np.stack([_caption_embedding(t) for t in text])
+
+    model = ResUNet30(dsp_precision=jax.lax.Precision.HIGHEST)
+    pl_model = SeparationInference(model, variables, JaxQueryEncoder())
+    evaluator = DCASEEvaluator(
+        sampling_rate=sr, eval_indexes=str(csv_path),
+        audio_dir=str(tmp_path), batch_size=2, pad_seconds=1.0)
+    sisdr, sdri, sdr = evaluator(pl_model)
+
+    assert abs(sisdr - ref_sisdr) < 1e-3, (sisdr, ref_sisdr)
+    assert abs(sdri - ref_sdri) < 1e-3, (sdri, ref_sdri)
+    assert abs(sdr - ref_sdr) < 1e-3, (sdr, ref_sdr)
