@@ -35,12 +35,17 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     call in a single-process run is skipped (keeps the single-host path
     dependency-free — the reference likewise only inits DDP when launched
     distributed)."""
-    if jax.process_count() > 1:
-        return  # already initialized (initialize() must precede this)
     if coordinator_address is None and num_processes is None:
         logger.info("single-process run: skipping "
                     "jax.distributed.initialize()")
         return
+    # NOTE: must run before ANY backend-initializing jax call (including
+    # jax.process_count/jax.devices), so the already-initialized check
+    # reads the distributed client state directly
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
+        return  # already initialized
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

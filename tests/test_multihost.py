@@ -74,3 +74,44 @@ def test_datamodule_host_shards_are_disjoint(tmp_path):
     assert len(seen[0]) == len(seen[1]) == 16
     assert seen[0].isdisjoint(seen[1])
     assert seen[0] | seen[1] == set(range(32))
+
+
+def test_two_process_train_step_and_checkpoint(tmp_path):
+    """TRUE multi-process path (reference analog: `num_nodes` DDP,
+    train.py:269-270): two processes, 4 virtual CPU devices each, one
+    8-device global mesh. Each worker runs jax.distributed.initialize()
+    with a real coordinator, one global sharded train step via
+    put_global_batch, and an orbax multi-host save/restore. Both workers
+    must report the SAME global loss (the implicit gradient psum)."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(repo, "tests",
+                                          "multihost_worker.py"),
+             coordinator, "2", str(i), str(tmp_path / "ckpt")],
+            env=env, cwd=repo, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=1200) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+    losses = []
+    for i, (out, _err) in enumerate(outs):
+        m = re.search(rf"MULTIHOST_OK process={i}/2 loss=([\d.eE+-]+)", out)
+        assert m, out
+        losses.append(float(m.group(1)))
+    assert losses[0] == losses[1]  # one global step, identical everywhere
