@@ -30,6 +30,10 @@ import json
 import os
 import time
 
+# persistent compiled-executable cache: repeat bench runs skip the multi-
+# minute remote compile (must be set before jax import)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -41,11 +41,20 @@ from lass_tpu.nn.layers import BatchNorm, leaky_relu, xavier_uniform
 # Opt-in fused Pallas conv-block (read ONCE at import; trace-time env reads
 # are a footgun if the flag flips between traces of the same program)
 _FUSED_CONV_BLOCK = os.environ.get("LASS_TPU_FUSED_CONV_BLOCK") == "1"
-# Decomposed (center + corner) folded 3x3 convs — default ON (measured
-# faster on v5e: the dense folded kernel runs at peak MXU, so cutting its
-# structural-zero FLOPs in half wins); LASS_TPU_DECOMPOSED_CONV=0 reverts
-# to the dense folded kernel (also latched at import).
-_DECOMPOSED_CONV = os.environ.get("LASS_TPU_DECOMPOSED_CONV", "1") != "0"
+# Decomposed (center + corner) folded 3x3 convs: MEASURED SLOWER on v5e
+# (131 vs 296 clips/s — the corner conv's lane-sliced shifted input
+# defeats XLA's conv input fusion and pays relayouts) — default OFF,
+# LASS_TPU_DECOMPOSED_CONV=1 re-enables for experiments (latched at
+# import).
+_DECOMPOSED_CONV = os.environ.get("LASS_TPU_DECOMPOSED_CONV", "0") == "1"
+# conv1/conv2 fusion barrier placement: 'pre_act' (between conv1 and
+# bn2/act — round-2 default), 'post_act' (after the act, letting the act
+# fuse upward into conv1's output fusion), 'off'.
+_CONV_BARRIER = os.environ.get("LASS_TPU_CONV_BARRIER", "pre_act")
+# fold-pair pool averaging: 'dot' (round-2 matmul) or 'conv' (1x1 conv
+# against the same constant — keeps the canonical activation layout, so
+# the transposed-output copies XLA inserts after the dot disappear).
+_POOL_IMPL = os.environ.get("LASS_TPU_POOL_IMPL", "dot")
 
 
 
@@ -233,9 +242,17 @@ def folded_avg_pool_2x2(x: jax.Array, s: int) -> jax.Array:
     xt = nn.avg_pool(x, (2, 1), (2, 1))
     if s == 2:
         return 0.5 * (xt[..., :c] + xt[..., c:])
+    m = jnp.asarray(_refold_matrix(s, c)).astype(x.dtype)
+    if _POOL_IMPL == "conv":
+        # same contraction expressed as a 1x1 conv: the conv emitter
+        # writes the canonical {C,B,G,T} activation layout directly,
+        # where the dot's transposed output needed two full-tensor
+        # copies (profiled 1.3 ms at B=16)
+        return jax.lax.conv_general_dilated(
+            xt, m[None, None], window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return jax.lax.dot_general(
-        xt, jnp.asarray(_refold_matrix(s, c)).astype(x.dtype),
-        dimension_numbers=(((3,), (0,)), ((), ())))
+        xt, m, dimension_numbers=(((3,), (0,)), ((), ())))
 
 
 @functools.lru_cache(maxsize=None)
@@ -454,11 +471,14 @@ class FoldedConvBlockRes(nn.Module):
         # EmitAllBatchInSublanes at 18.3M cycles (~12.6 ms vs ~4.8 expected,
         # profiled) — the barrier blocks the double-conv fusion while the
         # act+conv input fusions still form on each side
-        h = jax.lax.optimization_barrier(h)
+        if _CONV_BARRIER == "pre_act":
+            h = jax.lax.optimization_barrier(h)
         h = folded_bn_film_act(
             h, s, self.out_channels,
             BatchNorm(self.out_channels, self.momentum, name="bn2"),
             film["beta2"], train)
+        if _CONV_BARRIER == "post_act":
+            h = jax.lax.optimization_barrier(h)
         w2, _ = ConvParams((*self.kernel_size, self.out_channels,
                             self.out_channels), name="conv2")()
         h = conv3(h, w2, s)
