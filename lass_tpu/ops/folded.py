@@ -41,12 +41,32 @@ from lass_tpu.nn.layers import BatchNorm, leaky_relu, xavier_uniform
 # Opt-in fused Pallas conv-block (read ONCE at import; trace-time env reads
 # are a footgun if the flag flips between traces of the same program)
 _FUSED_CONV_BLOCK = os.environ.get("LASS_TPU_FUSED_CONV_BLOCK") == "1"
-# Decomposed (center + corner) folded 3x3 convs: MEASURED SLOWER on v5e
-# (131 vs 296 clips/s — the corner conv's lane-sliced shifted input
-# defeats XLA's conv input fusion and pays relayouts) — default OFF,
-# LASS_TPU_DECOMPOSED_CONV=1 re-enables for experiments (latched at
-# import).
-_DECOMPOSED_CONV = os.environ.get("LASS_TPU_DECOMPOSED_CONV", "0") == "1"
+# Folded 3x3 conv implementation (latched at import):
+#   'dense'      — one conv with the (3, 3, s*Cin, s*Cout) dense folded
+#                  kernel (4x useful FLOPs at s=4, runs ~peak MXU).
+#   'halo'       — im2col-halo: gather each group's s+2 relevant freq
+#                  positions into (s+2)*Cin lanes, one (3, 1) conv with
+#                  K = 3*(s+2)*Cin — (s+2)/3x useful FLOPs (2x at s=4,
+#                  1.33x at s=2) at full lane utilization.
+#   'phase'      — phase-shifted conv pair (eval only): conv1 writes a
+#                  half-group-shifted fold layout via a (kh, 2) kernel,
+#                  conv2 shifts back — plain dense convs at 2/3 the
+#                  folded FLOPs each, no lane ops.
+#   'decomposed' — center + corner taps: MEASURED SLOWER on v5e (131 vs
+#                  296 clips/s — the corner conv's lane-sliced shifted
+#                  input defeats XLA's conv input fusion).
+_CONV_IMPL = os.environ.get(
+    "LASS_TPU_CONV_IMPL",
+    "decomposed" if os.environ.get("LASS_TPU_DECOMPOSED_CONV") == "1"
+    else "dense")
+_DECOMPOSED_CONV = _CONV_IMPL == "decomposed"
+# Folded 1x1 convs: 'dense' (block-diagonal folded kernel, s x useful
+# FLOPs) or 'grouped' (feature_group_count=s, no blow-up).
+_CONV_1X1 = os.environ.get("LASS_TPU_CONV_1X1", "dense")
+# Folded kernel==stride transposed conv: 'dense' (s_in x useful FLOPs)
+# or 'grouped' (feature_group_count=s_in, no blow-up — each input fold
+# slot's two output slots are lane-adjacent, so groups stay contiguous).
+_CONVT_IMPL = os.environ.get("LASS_TPU_CONVT_IMPL", "dense")
 # conv1/conv2 fusion barrier placement: 'pre_act' (between conv1 and
 # bn2/act — round-2 default), 'post_act' (after the act, letting the act
 # fuse upward into conv1's output fusion), 'off'.
@@ -116,6 +136,9 @@ def folded_conv(x: jax.Array, w: jax.Array, s: int,
                 bias: Optional[jax.Array] = None,
                 in_groups: Optional[Sequence[int]] = None) -> jax.Array:
     """Apply a logical conv on a folded tensor. x: (B, T, G, s*Cin)."""
+    if w.shape[0] == w.shape[1] == 1 and _CONV_1X1 == "grouped":
+        return folded_conv_grouped_1x1(x, w, s, bias=bias,
+                                       in_groups=in_groups)
     kernel = fold_conv_kernel(w, s, in_groups).astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, kernel, window_strides=(1, 1), padding="SAME",
@@ -124,6 +147,168 @@ def folded_conv(x: jax.Array, w: jax.Array, s: int,
         cout = w.shape[-1]
         y = y + jnp.tile(bias, s).astype(y.dtype)
     return y
+
+
+def folded_conv_grouped_1x1(x: jax.Array, w: jax.Array, s: int,
+                            bias: Optional[jax.Array] = None,
+                            in_groups: Optional[Sequence[int]] = None
+                            ) -> jax.Array:
+    """Folded 1x1 conv with NO structural FLOPs blow-up: every fold slot
+    applies the same logical (Cin, Cout) weights, which is exactly a
+    feature_group_count=s convolution with the kernel tiled s times along
+    the output axis. A concat input (in_groups) is handled as one grouped
+    conv per group, summed (fold slot r of group g is not lane-contiguous
+    with slot r of the other groups, so a single grouped conv can't span
+    them)."""
+    cout = w.shape[-1]
+    groups = list(in_groups) if in_groups else [x.shape[-1] // s]
+    offsets = np.cumsum([0] + [s * cg for cg in groups])
+    ci0 = 0
+    y = None
+    for gi, cg in enumerate(groups):
+        wg = w[:, :, ci0:ci0 + cg]
+        ci0 += cg
+        kern = jnp.tile(wg, (1, 1, 1, s)).astype(x.dtype)
+        part = jax.lax.conv_general_dilated(
+            x[..., int(offsets[gi]):int(offsets[gi + 1])], kern,
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=s)
+        y = part if y is None else y + part
+    if bias is not None:
+        y = y + jnp.tile(bias, s).astype(y.dtype)
+    return y
+
+
+@functools.lru_cache(maxsize=None)
+def _phase_embedding(s: int, kw: int, up: bool) -> np.ndarray:
+    """Constant 0/1 tensor E[t, r_i, r_o, f] for the phase-shifted conv
+    pair (phase = -s//2). down (up=False): output group o reads input
+    groups o-1+t, and output slot (o, r_o) holds logical frequency
+    s*o + r_o + phase. up: input is phase-shifted, output is phase-0,
+    output group o reads input groups o+t."""
+    half = kw // 2
+    phase = -(s // 2)
+    e = np.zeros((2, s, s, kw), np.float32)
+    for t in range(2):
+        for r_i in range(s):
+            for r_o in range(s):
+                if up:
+                    df = s * t + r_i + phase - r_o
+                else:
+                    df = s * (t - 1) + r_i - r_o - phase
+                if -half <= df <= half:
+                    e[t, r_i, r_o, df + half] = 1.0
+    return e
+
+
+def _phase_kernel(w: jax.Array, s: int, up: bool,
+                  in_groups: Optional[Sequence[int]]) -> jax.Array:
+    kh, kw, cin_total, cout = w.shape
+    e = jnp.asarray(_phase_embedding(s, kw, up))
+    groups = list(in_groups) if in_groups else [cin_total]
+    parts = []
+    ci0 = 0
+    for cg in groups:
+        wg = w[:, :, ci0:ci0 + cg]
+        ci0 += cg
+        kg = jnp.einsum("trof,kfij->ktrioj", e, wg)
+        parts.append(kg.reshape(kh, 2, s * cg, s * cout))
+    return jnp.concatenate(parts, axis=2)
+
+
+def phase_garbage_mask(s: int, g_out: int, lanes: int) -> np.ndarray:
+    """(1, 1, g_out, lanes) 0/1 mask zeroing the fold slots of a
+    phase-shifted tensor whose logical frequency falls outside
+    [0, s*(g_out-1)): slots r < s//2 of group 0 and r >= s//2 of the last
+    group. Zeroing them restores the logical conv's zero-padding
+    semantics for the phase-up conv EXACTLY."""
+    c = lanes // s
+    m = np.ones((1, 1, g_out, lanes), np.float32)
+    m[:, :, 0, :(s // 2) * c] = 0.0
+    m[:, :, g_out - 1, (s // 2) * c:] = 0.0
+    return m
+
+
+def folded_conv_phase(x: jax.Array, w: jax.Array, s: int, up: bool,
+                      in_groups: Optional[Sequence[int]] = None
+                      ) -> jax.Array:
+    """One half of the phase-shifted folded conv pair: a plain dense conv
+    with kernel (kh, 2, s*Cin, s*Cout) — executed K is 2/3 of the dense
+    folded kernel's (32 fold-blocks vs 48 at any s) with zero extra ops.
+
+    down: (B, T, G, s*Cin) -> (B, T, G+1, s*Cout) where output slot
+    (o, r) holds logical frequency s*o + r - s//2 (G-padding (1, 1)).
+    up: (B, T, G+1, s*Cin) phase-shifted -> (B, T, G, s*Cout) phase-0
+    (no G-padding). The caller MUST zero the out-of-range slots
+    (phase_garbage_mask) between down and up — they hold boundary values
+    the logical conv's zero padding requires to be 0.
+    """
+    kh, kw, _, _ = w.shape
+    kern = _phase_kernel(w, s, up, in_groups).astype(x.dtype)
+    pad_t = kh // 2
+    pad_g = (0, 0) if up else (1, 1)
+    return jax.lax.conv_general_dilated(
+        x, kern, window_strides=(1, 1),
+        padding=((pad_t, pad_t), pad_g),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@functools.lru_cache(maxsize=None)
+def _halo_embedding(s: int, kw: int) -> np.ndarray:
+    """Constant 0/1 tensor E[p, r_o, f]: window freq position p (0..s+1,
+    logical offset p-1 from the group base) feeds output fold slot r_o via
+    logical kernel tap f = p - r_o (when in range)."""
+    half = kw // 2
+    e = np.zeros((s + 2 * half, s, kw), np.float32)
+    for p in range(s + 2 * half):
+        for r_o in range(s):
+            f = p - r_o
+            if 0 <= f < kw:
+                e[p, r_o, f] = 1.0
+    return e
+
+
+def folded_conv_halo(x: jax.Array, w: jax.Array, s: int,
+                     in_groups: Optional[Sequence[int]] = None) -> jax.Array:
+    """`folded_conv` via im2col-halo: executed K drops from kh*kw*s*Cin
+    (dense folded) to kh*(s+2)*Cin — (s+2)/(kw*s) of the dense FLOPs
+    (50% at s=4, 67% at s=2 for kw=3) at full MXU lane utilization.
+
+    Each fold group's window needs freq positions s*g-1 .. s*g+s (the s
+    in-group bins plus one halo bin each side), gathered into
+    (s+2)*Cin lanes by two G-shifted lane slices + concat; the conv then
+    has NO freq-G taps, only the kh time taps. Numerics are EXACT (same
+    taps, f32 accumulation) — pinned vs folded_conv in tests/test_folded.py.
+    """
+    kh, kw, cin_total, cout = w.shape
+    if kw != 3 or s == 1:
+        return folded_conv(x, w, s, in_groups=in_groups)
+    groups = list(in_groups) if in_groups else [cin_total]
+    e = jnp.asarray(_halo_embedding(s, kw))
+
+    parts = []
+    kparts = []
+    off = 0
+    ci0 = 0
+    for cg in groups:
+        xg = x[..., off:off + s * cg]
+        off += s * cg
+        wg = w[:, :, ci0:ci0 + cg]
+        ci0 += cg
+        parts.append(_shift_g(xg[..., (s - 1) * cg:], +1))  # freq s*g - 1
+        parts.append(xg)
+        parts.append(_shift_g(xg[..., :cg], -1))            # freq s*g + s
+        # kern[k, p, i, r, j] = W[k, p - r, i, j] (zero out of range)
+        kg = jnp.einsum("prf,kfij->kpirj", e, wg)
+        kparts.append(kg.reshape(kh, (s + 2) * cg, s * cout))
+    xh = jnp.concatenate(parts, axis=-1)
+    kern = jnp.concatenate(kparts, axis=1)[:, None]  # (kh, 1, K, s*Cout)
+    pad_t = kh // 2
+    return jax.lax.conv_general_dilated(
+        xh, kern.astype(x.dtype), window_strides=(1, 1),
+        padding=((pad_t, pad_t), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def _shift_g(x: jax.Array, direction: int) -> jax.Array:
@@ -266,7 +451,8 @@ def _convT_fold_embedding(s_in: int) -> np.ndarray:
     return e
 
 
-def folded_convT_2x2(x: jax.Array, w: jax.Array, s_in: int) -> jax.Array:
+def folded_convT_2x2(x: jax.Array, w: jax.Array, s_in: int,
+                     impl: Optional[str] = None) -> jax.Array:
     """kernel==stride (2,2) transposed conv on a fold-s_in tensor ->
     fold-2*s_in tensor at (2T, G). w: (2, 2, Cout, Cin) (the
     conv_transpose2d param layout).
@@ -281,6 +467,19 @@ def folded_convT_2x2(x: jax.Array, w: jax.Array, s_in: int) -> jax.Array:
     padding (1,1)).
     """
     _, _, cout, cin = w.shape
+    if impl is None:
+        impl = _CONVT_IMPL
+    if impl == "grouped" and s_in > 1:
+        # fold slot r_i's two output slots r_o = 2*r_i + j are
+        # lane-adjacent, so feature_group_count=s_in expresses the block
+        # structure exactly: kernel = the same (2, cin, 2*cout) block
+        # tiled per group — NO structural blow-up (dense executes s_in x).
+        bk = jnp.transpose(w[::-1], (0, 3, 1, 2)).reshape(2, cin, 2 * cout)
+        kern = jnp.tile(bk[:, None], (1, 1, 1, s_in)).astype(x.dtype)
+        return jax.lax.conv_general_dilated(
+            x, kern, window_strides=(1, 1), padding=((1, 1), (0, 0)),
+            lhs_dilation=(2, 1), feature_group_count=s_in,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     e = jnp.asarray(_convT_fold_embedding(s_in))
     # kernel[k, 0, r_i*cin+ci, r_o*cout+co] = w[1-k, j, co, ci] E[r_i, j, r_o]
     kern = jnp.einsum("rjq,kjoc->krcqo", e, w[::-1])
@@ -461,11 +660,24 @@ class FoldedConvBlockRes(nn.Module):
     def _xla_tail(self, x, h, film, train):
         s = self.fold
         groups = self.in_groups
-        conv3 = folded_conv_decomposed if _DECOMPOSED_CONV else folded_conv
+        conv3 = {"dense": folded_conv,
+                 "halo": folded_conv_halo,
+                 "phase": folded_conv,
+                 "decomposed": folded_conv_decomposed}[_CONV_IMPL]
+        # Phase-shifted conv pair (eval only): conv1 writes a half-group
+        # phase-shifted fold layout, conv2 shifts back — each a plain
+        # dense conv at 2/3 the folded-kernel FLOPs. Train mode keeps the
+        # dense pair (bn2's BATCH statistics would otherwise include the
+        # 2*s/2 out-of-range boundary slots).
+        phase = (_CONV_IMPL == "phase" and not train and s > 1
+                 and self.kernel_size == (3, 3))
         # layout preserved: grouped input needs the grouped folded kernel
         w1, _ = ConvParams((*self.kernel_size, self.in_channels,
                             self.out_channels), name="conv1")()
-        h = conv3(h, w1, s, in_groups=groups)
+        if phase:
+            h = folded_conv_phase(h, w1, s, up=False, in_groups=groups)
+        else:
+            h = conv3(h, w1, s, in_groups=groups)
         # keep conv1 and conv2 in SEPARATE fusions: at B=24 XLA fused the
         # conv1->act->conv2 chain into one kOutput fusion scheduled with
         # EmitAllBatchInSublanes at 18.3M cycles (~12.6 ms vs ~4.8 expected,
@@ -481,7 +693,12 @@ class FoldedConvBlockRes(nn.Module):
             h = jax.lax.optimization_barrier(h)
         w2, _ = ConvParams((*self.kernel_size, self.out_channels,
                             self.out_channels), name="conv2")()
-        h = conv3(h, w2, s)
+        if phase:
+            h = h * jnp.asarray(phase_garbage_mask(
+                s, h.shape[2], h.shape[3])).astype(h.dtype)
+            h = folded_conv_phase(h, w2, s, up=True)
+        else:
+            h = conv3(h, w2, s)
         if self.in_channels != self.out_channels:
             ws, bs = ConvParams((1, 1, self.in_channels, self.out_channels),
                                 use_bias=True, name="shortcut")()

@@ -28,6 +28,11 @@ VARIANTS = {
     "pool_conv+barrier_off": {"LASS_TPU_POOL_IMPL": "conv",
                               "LASS_TPU_CONV_BARRIER": "off"},
     "dsp_default": {"LASS_TPU_BENCH_DSP": "default"},
+    "phase": {"LASS_TPU_CONV_IMPL": "phase"},
+    "phase+dsp_default": {"LASS_TPU_CONV_IMPL": "phase",
+                          "LASS_TPU_BENCH_DSP": "default"},
+    "halo": {"LASS_TPU_CONV_IMPL": "halo"},
+    "convt_grouped": {"LASS_TPU_CONVT_IMPL": "grouped"},
     "pool_conv+dsp_default": {"LASS_TPU_POOL_IMPL": "conv",
                               "LASS_TPU_BENCH_DSP": "default"},
     # forward chained inside one jit (output fed back as input): pure

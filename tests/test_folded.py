@@ -113,3 +113,99 @@ def test_folded_conv_decomposed_matches_dense(s, groups, rng):
     dec = folded_conv_decomposed(x, w, s, in_groups=groups)
     np.testing.assert_allclose(np.asarray(dec), np.asarray(dense),
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("s,groups", [(2, None), (4, None), (4, (32, 32)),
+                                      (2, (16, 48))])
+def test_folded_conv_halo_matches_dense(s, groups, rng):
+    """The im2col-halo formulation (folded_conv_halo) is exact vs the
+    dense folded kernel for all fold/group shapes the model uses."""
+    from lass_tpu.ops.folded import folded_conv, folded_conv_halo
+
+    cin = sum(groups) if groups else 32
+    cout = 24
+    x = jnp.asarray(rng.randn(2, 8, 16, s * cin).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32) * 0.1)
+    dense = folded_conv(x, w, s, in_groups=groups)
+    halo = folded_conv_halo(x, w, s, in_groups=groups)
+    np.testing.assert_allclose(np.asarray(halo), np.asarray(dense),
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("s,groups", [(2, None), (4, None), (4, (8, 24)),
+                                      (2, (16, 48))])
+def test_folded_conv_grouped_1x1_matches_dense(s, groups, rng):
+    from lass_tpu.ops.folded import folded_conv, folded_conv_grouped_1x1
+
+    cin = sum(groups) if groups else 32
+    cout = 24
+    x = jnp.asarray(rng.randn(2, 8, 16, s * cin).astype(np.float32))
+    w = jnp.asarray(rng.randn(1, 1, cin, cout).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(cout).astype(np.float32))
+    dense = folded_conv(x, w, s, bias=bias, in_groups=groups)
+    grp = folded_conv_grouped_1x1(x, w, s, bias=bias, in_groups=groups)
+    np.testing.assert_allclose(np.asarray(grp), np.asarray(dense),
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("s_in", [2, 4])
+def test_folded_convT_grouped_matches_dense(s_in, rng):
+    from lass_tpu.ops.folded import folded_convT_2x2
+
+    x = jnp.asarray(rng.randn(2, 4, 8, s_in * 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(2, 2, 12, 16).astype(np.float32) * 0.1)
+    dense = folded_convT_2x2(x, w, s_in, impl="dense")
+    grp = folded_convT_2x2(x, w, s_in, impl="grouped")
+    np.testing.assert_allclose(np.asarray(grp), np.asarray(dense),
+                               atol=1e-5)
+
+
+def test_resunet_halo_impl_equals_dense(rng, monkeypatch):
+    """Full folded model under the halo/grouped flags == default impls."""
+    import lass_tpu.ops.folded as F
+
+    x = {"mixture": jnp.asarray(rng.randn(1, 1, 16000).astype(np.float32)),
+         "condition": jnp.asarray(rng.randn(1, 512).astype(np.float32))}
+    model = ResUNet30(freq_fold=4)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    ref = model.apply(variables, x, train=False)["waveform"]
+    monkeypatch.setattr(F, "_CONV_IMPL", "halo")
+    monkeypatch.setattr(F, "_CONV_1X1", "grouped")
+    monkeypatch.setattr(F, "_CONVT_IMPL", "grouped")
+    out = model.apply(variables, x, train=False)["waveform"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("s,groups", [(2, None), (4, None), (4, (32, 32)),
+                                      (2, (16, 48))])
+def test_folded_conv_phase_pair_matches_dense(s, groups, rng):
+    """phase-down -> garbage mask -> phase-up == two dense folded convs
+    (the shifted intermediate layout cancels across the pair; masking the
+    out-of-range boundary slots restores zero-pad semantics exactly)."""
+    from lass_tpu.ops.folded import (folded_conv, folded_conv_phase,
+                                     phase_garbage_mask)
+
+    cin = sum(groups) if groups else 32
+    cmid, cout = 24, 20
+    x = jnp.asarray(rng.randn(2, 8, 16, s * cin).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(3, 3, cin, cmid).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(3, 3, cmid, cout).astype(np.float32) * 0.1)
+    ref = folded_conv(folded_conv(x, w1, s, in_groups=groups), w2, s)
+    h = folded_conv_phase(x, w1, s, up=False, in_groups=groups)
+    h = h * jnp.asarray(phase_garbage_mask(s, h.shape[2], h.shape[3]))
+    out = folded_conv_phase(h, w2, s, up=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_resunet_phase_impl_equals_dense(rng, monkeypatch):
+    """Full folded model under _CONV_IMPL='phase' == dense (eval)."""
+    import lass_tpu.ops.folded as F
+
+    x = {"mixture": jnp.asarray(rng.randn(1, 1, 16000).astype(np.float32)),
+         "condition": jnp.asarray(rng.randn(1, 512).astype(np.float32))}
+    model = ResUNet30(freq_fold=4)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    ref = model.apply(variables, x, train=False)["waveform"]
+    monkeypatch.setattr(F, "_CONV_IMPL", "phase")
+    out = model.apply(variables, x, train=False)["waveform"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
