@@ -37,7 +37,8 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: Optional[jax.Array], train: bool,
-                 feature_map=None, return_affine: bool = False):
+                 feature_map=None, return_affine: bool = False,
+                 stats_mask: Optional[np.ndarray] = None):
         """feature_map: optional static int array of length
         x.shape[axis] mapping each physical channel to a logical feature in
         [0, features). Used by the frequency-folded execution
@@ -93,26 +94,50 @@ class BatchNorm(nn.Module):
         if train:
             # statistics in f32 (reductions are cheap; accuracy matters)
             xf = x.astype(jnp.float32)
-            mean_p = jnp.mean(xf, axis=reduction_axes)
-            mean2_p = jnp.mean(jnp.square(xf), axis=reduction_axes)
-            if fm is not None:
-                # aggregate folded copies into logical features (each
-                # logical feature appears the same number of times)
-                onehot = jnp.asarray(
-                    (fm[:, None] == np.arange(self.features)[None, :]
-                     ).astype(np.float32))
-                counts = onehot.sum(axis=0)
-                mean = (mean_p @ onehot) / counts
-                mean2 = (mean2_p @ onehot) / counts
+            if stats_mask is None:
+                sum_p = jnp.sum(xf, axis=reduction_axes)
+                sum2_p = jnp.sum(jnp.square(xf), axis=reduction_axes)
+                counts_p = np.full((n_phys,),
+                                   x.size / n_phys, np.float64)
             else:
-                mean, mean2 = mean_p, mean2_p
+                # masked statistics (phase-shifted folded execution,
+                # ops/folded.py): out-of-range boundary slots are
+                # excluded, so the stats equal the unfolded reference's
+                # EXACTLY (valid slots are a permutation of the logical
+                # positions)
+                m_np = np.asarray(stats_mask, np.float32)
+                assert m_np.ndim == x.ndim
+                xm = xf * jnp.asarray(m_np)
+                sum_p = jnp.sum(xm, axis=reduction_axes)
+                sum2_p = jnp.sum(jnp.square(xf) * jnp.asarray(m_np),
+                                 axis=reduction_axes)
+                bcast = float(np.prod([
+                    x.shape[i] for i in reduction_axes
+                    if m_np.shape[i] == 1]))
+                counts_p = (m_np.sum(axis=tuple(
+                    i for i in range(x.ndim) if i != feature_axis)
+                ).astype(np.float64) * bcast)
+            if fm is not None:
+                # aggregate folded copies into logical features
+                onehot_np = (fm[:, None] == np.arange(self.features)[None]
+                             ).astype(np.float32)
+                onehot = jnp.asarray(onehot_np)
+                counts = jnp.asarray(counts_p @ onehot_np)
+                mean = (sum_p @ onehot) / counts
+                mean2 = (sum2_p @ onehot) / counts
+                n_feat = counts_p @ onehot_np
+            else:
+                mean = sum_p / jnp.asarray(counts_p)
+                mean2 = sum2_p / jnp.asarray(counts_p)
+                n_feat = counts_p
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
-                n = x.size // self.features
-                unbiased = var * (n / max(n - 1, 1))
+                n = jnp.asarray(n_feat)
+                unbiased = var * (n / jnp.maximum(n - 1, 1))
                 m = self.momentum
                 ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
-                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+                ra_var.value = (1.0 - m) * ra_var.value \
+                    + m * unbiased.astype(jnp.float32)
         else:
             mean, var = ra_mean.value, ra_var.value
 

@@ -518,14 +518,20 @@ def fold_feature_map(s: int, groups: Sequence[int]) -> np.ndarray:
 
 def folded_bn_film_act(x: jax.Array, s: int, c: int, bn: BatchNorm,
                        beta: jax.Array, train: bool,
-                       in_groups: Optional[Sequence[int]] = None
+                       in_groups: Optional[Sequence[int]] = None,
+                       stats_mask: Optional[np.ndarray] = None
                        ) -> jax.Array:
     """BN + FiLM beta + leaky-relu directly on the folded layout via
     BatchNorm's feature_map (no reshape of the big activation, so no
     layout copies). The channel layout in == layout out (grouped stays
-    grouped; downstream convs use matching in_groups kernels)."""
+    grouped; downstream convs use matching in_groups kernels).
+
+    stats_mask: 0/1 array excluding positions from the TRAIN batch
+    statistics (the phase-shifted layout's out-of-range boundary slots);
+    the valid slots are a permutation of the logical positions, so the
+    masked stats equal the unfolded reference's EXACTLY."""
     fm = fold_feature_map(s, in_groups or [c])
-    h = bn(x, train, feature_map=fm)
+    h = bn(x, train, feature_map=fm, stats_mask=stats_mask)
     h = h + beta[:, fm][:, None, None, :].astype(h.dtype)
     return leaky_relu(h)
 
@@ -664,12 +670,13 @@ class FoldedConvBlockRes(nn.Module):
                  "halo": folded_conv_halo,
                  "phase": folded_conv,
                  "decomposed": folded_conv_decomposed}[_CONV_IMPL]
-        # Phase-shifted conv pair (eval only): conv1 writes a half-group
+        # Phase-shifted conv pair: conv1 writes a half-group
         # phase-shifted fold layout, conv2 shifts back — each a plain
-        # dense conv at 2/3 the folded-kernel FLOPs. Train mode keeps the
-        # dense pair (bn2's BATCH statistics would otherwise include the
-        # 2*s/2 out-of-range boundary slots).
-        phase = (_CONV_IMPL == "phase" and not train and s > 1
+        # dense conv at 2/3 the folded-kernel FLOPs. In train mode bn2
+        # excludes the s out-of-range boundary slots from its batch
+        # statistics (stats_mask), making stats/normalization/gradients
+        # EXACTLY equal to the dense pair's (pinned in tests/test_folded).
+        phase = (_CONV_IMPL == "phase" and s > 1
                  and self.kernel_size == (3, 3))
         # layout preserved: grouped input needs the grouped folded kernel
         w1, _ = ConvParams((*self.kernel_size, self.in_channels,
@@ -685,17 +692,19 @@ class FoldedConvBlockRes(nn.Module):
         # act+conv input fusions still form on each side
         if _CONV_BARRIER == "pre_act":
             h = jax.lax.optimization_barrier(h)
+        mask = (phase_garbage_mask(s, h.shape[2], h.shape[3])
+                if phase else None)
         h = folded_bn_film_act(
             h, s, self.out_channels,
             BatchNorm(self.out_channels, self.momentum, name="bn2"),
-            film["beta2"], train)
+            film["beta2"], train,
+            stats_mask=mask if (phase and train) else None)
         if _CONV_BARRIER == "post_act":
             h = jax.lax.optimization_barrier(h)
         w2, _ = ConvParams((*self.kernel_size, self.out_channels,
                             self.out_channels), name="conv2")()
         if phase:
-            h = h * jnp.asarray(phase_garbage_mask(
-                s, h.shape[2], h.shape[3])).astype(h.dtype)
+            h = h * jnp.asarray(mask).astype(h.dtype)
             h = folded_conv_phase(h, w2, s, up=True)
         else:
             h = conv3(h, w2, s)

@@ -209,3 +209,40 @@ def test_resunet_phase_impl_equals_dense(rng, monkeypatch):
     monkeypatch.setattr(F, "_CONV_IMPL", "phase")
     out = model.apply(variables, x, train=False)["waveform"]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_resunet_phase_impl_equals_dense_train(rng, monkeypatch):
+    """Full folded model under _CONV_IMPL='phase' in TRAIN mode == dense:
+    forward, updated BatchNorm batch statistics (bn2 sees the
+    phase-shifted layout and must exclude the boundary slots via
+    stats_mask), and parameter gradients all match."""
+    import lass_tpu.ops.folded as F
+
+    x = {"mixture": jnp.asarray(rng.randn(2, 1, 16000).astype(np.float32)),
+         "condition": jnp.asarray(rng.randn(2, 512).astype(np.float32))}
+    model = ResUNet30(freq_fold=4)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def loss_fn(p):
+        out, new_vars = model.apply(
+            {"params": p, "batch_stats": stats}, x, train=True,
+            mutable=["batch_stats"])
+        return jnp.mean(jnp.abs(out["waveform"])), new_vars["batch_stats"]
+
+    (ref_loss, ref_stats), ref_grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params)
+    monkeypatch.setattr(F, "_CONV_IMPL", "phase")
+    (out_loss, out_stats), out_grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params)
+
+    np.testing.assert_allclose(float(out_loss), float(ref_loss), atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5),
+        out_stats, ref_stats)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4),
+        out_grads, ref_grads)
