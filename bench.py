@@ -65,11 +65,19 @@ def check_parity(out_full: np.ndarray, result: dict) -> None:
             f"{float(golden['tol']):.3e} vs CPU HIGHEST golden")
 
 
+def _dsp_precision():
+    """BENCH_DSP: 'high' (3-pass bf16 DSP matmuls) or 'default' (1-pass).
+    The parity gate below guards the lower precision on real hardware."""
+    name = os.environ.get("BENCH_DSP", "high").upper()
+    return getattr(jax.lax.Precision, name)
+
+
 def bench_forward(result: dict, batch: int, iters: int) -> None:
     from lass_tpu.models.resunet import ResUNet30
 
     samples = 160000  # 10 s @ 16 kHz
-    model = ResUNet30(compute_dtype=jnp.bfloat16)
+    model = ResUNet30(compute_dtype=jnp.bfloat16,
+                      dsp_precision=_dsp_precision())
     example = {
         "mixture": jnp.zeros((batch, 1, samples), jnp.float32),
         "condition": jnp.zeros((batch, 512), jnp.float32),
@@ -124,7 +132,8 @@ def bench_train(result: dict, batch: int, iters: int) -> None:
 
     samples = 160000
     task = AudioSepTask(
-        model=ResUNet30(compute_dtype=jnp.bfloat16),
+        model=ResUNet30(compute_dtype=jnp.bfloat16,
+                        dsp_precision=_dsp_precision()),
         mixer=SegmentMixer(max_mix_num=2, lower_db=-10, higher_db=10),
         optimizer=build_optimizer("AdamW", 1e-3, "linear_warm_up",
                                   10000, 1000000),

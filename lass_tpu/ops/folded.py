@@ -48,17 +48,19 @@ _FUSED_CONV_BLOCK = os.environ.get("LASS_TPU_FUSED_CONV_BLOCK") == "1"
 #                  positions into (s+2)*Cin lanes, one (3, 1) conv with
 #                  K = 3*(s+2)*Cin — (s+2)/3x useful FLOPs (2x at s=4,
 #                  1.33x at s=2) at full lane utilization.
-#   'phase'      — phase-shifted conv pair (eval only): conv1 writes a
-#                  half-group-shifted fold layout via a (kh, 2) kernel,
-#                  conv2 shifts back — plain dense convs at 2/3 the
-#                  folded FLOPs each, no lane ops.
+#   'phase'      — phase-shifted conv pair (DEFAULT, eval and train):
+#                  conv1 writes a half-group-shifted fold layout via a
+#                  (kh, 2) kernel, conv2 shifts back — plain dense convs
+#                  at 2/3 the folded FLOPs each, no lane ops. Exactness
+#                  (fwd, BN stats, grads) pinned in tests/test_folded.py;
+#                  measured 327 vs 296 clips/s on v5e.
 #   'decomposed' — center + corner taps: MEASURED SLOWER on v5e (131 vs
 #                  296 clips/s — the corner conv's lane-sliced shifted
 #                  input defeats XLA's conv input fusion).
 _CONV_IMPL = os.environ.get(
     "LASS_TPU_CONV_IMPL",
     "decomposed" if os.environ.get("LASS_TPU_DECOMPOSED_CONV") == "1"
-    else "dense")
+    else "phase")
 _DECOMPOSED_CONV = _CONV_IMPL == "decomposed"
 # Folded 1x1 convs: 'dense' (block-diagonal folded kernel, s x useful
 # FLOPs) or 'grouped' (feature_group_count=s, no blow-up).
