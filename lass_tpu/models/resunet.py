@@ -52,6 +52,12 @@ class ResUNet30Base(nn.Module):
     K: int = 3
     momentum: float = 0.01
     freq_fold: int = 1
+    # L1 (widest level) layout: None = env LASS_TPU_L1_LAYOUT; 'freq' =
+    # fold-4 frequency; 'mixed' = 2x2 time-x-frequency fold (the 2D phase
+    # pair runs (2, 2) kernels at 16/9 of the logical FLOPs vs 8/3 for the
+    # freq-fold phase pair). Identical param tree and exact numerics
+    # either way (tests/test_folded.py).
+    l1_layout: Optional[str] = None
     # block-sparse fused act+conv eval kernel for the folded levels
     # (ops/pallas_folded_conv): None = auto (TPU backends), True/False force
     sparse_conv: Any = None
@@ -98,19 +104,28 @@ class ResUNet30Base(nn.Module):
 
     def _call_folded(self, x: jax.Array, film: Dict[str, Any], train: bool
                      ) -> jax.Array:
+        import lass_tpu.ops.folded as F
         from lass_tpu.ops.folded import (
             ConvParams, FoldedDecoderBlockRes1B, FoldedEncoderBlockRes1B,
-            fold_freq, folded_conv, unfold_freq)
+            MixedDecoderBlockRes1B, MixedEncoderBlockRes1B,
+            fold_freq, folded_conv, mixed_fold_input, unfold_freq)
 
         s = self.freq_fold
-        x = fold_freq(x, s)
+        layout = self.l1_layout or F._L1_LAYOUT
+        mixed = layout == "mixed" and s == 4
+        x = mixed_fold_input(x) if mixed else fold_freq(x, s)
         w_pre, b_pre = ConvParams((1, 1, self.input_channels, 32),
                                   use_bias=True, name="pre_conv")()
         x = folded_conv(x, w_pre, s, bias=b_pre)
-        x1p_f, x1_f = FoldedEncoderBlockRes1B(
-            32, 32, s, use_sparse_kernel=self.sparse_conv,
-            name="encoder_block1")(
-            x, film["encoder_block1"], train)
+        if mixed:
+            x1p_f, x1_f = MixedEncoderBlockRes1B(
+                32, 32, name="encoder_block1")(
+                x, film["encoder_block1"], train)
+        else:
+            x1p_f, x1_f = FoldedEncoderBlockRes1B(
+                32, 32, s, use_sparse_kernel=self.sparse_conv,
+                name="encoder_block1")(
+                x, film["encoder_block1"], train)
         # level 2 runs at fold s//2 (the pool's natural output layout)
         x2p_f, x2_f = FoldedEncoderBlockRes1B(
             32, 64, s // 2, use_sparse_kernel=self.sparse_conv,
@@ -139,16 +154,24 @@ class ResUNet30Base(nn.Module):
             128, 64, 64, fold_in=1, use_sparse_kernel=self.sparse_conv,
             name="decoder_block5")(
             h, x2_f, film["decoder_block5"], train)
-        h = FoldedDecoderBlockRes1B(
-            64, 32, 32, fold_in=s // 2, input_is_folded=True,
-            use_sparse_kernel=self.sparse_conv,
-            name="decoder_block6")(
-            h, x1_f, film["decoder_block6"], train)
+        if mixed:
+            h = MixedDecoderBlockRes1B(
+                64, 32, 32, name="decoder_block6")(
+                h, x1_f, film["decoder_block6"], train)
+        else:
+            h = FoldedDecoderBlockRes1B(
+                64, 32, 32, fold_in=s // 2, input_is_folded=True,
+                use_sparse_kernel=self.sparse_conv,
+                name="decoder_block6")(
+                h, x1_f, film["decoder_block6"], train)
         w_after, b_after = ConvParams(
             (1, 1, 32, self.output_channels * self.K), use_bias=True,
             name="after_conv")()
         if self.fused_head:
             return h, w_after, b_after
+        if mixed:
+            from lass_tpu.ops.folded import mixed_after_conv_transposed
+            return mixed_after_conv_transposed(h, w_after, b_after)
         from lass_tpu.ops.folded import folded_after_conv_transposed
         return folded_after_conv_transposed(h, w_after, b_after, s)
 
@@ -285,6 +308,9 @@ class ResUNet30(nn.Module):
     hop_size: int = 160
     compute_dtype: Any = jnp.float32
     freq_fold: int = 4  # TPU-first default; 1 = reference-shaped execution
+    # L1 layout: None = env LASS_TPU_L1_LAYOUT ('freq'/'mixed'), see
+    # ResUNet30Base.l1_layout
+    l1_layout: Optional[str] = None
     # f32 DSP matmul passes: HIGHEST = exact f32 (6-pass, parity runs),
     # HIGH = 3-pass (~1e-6 rel — default), DEFAULT = 1-pass bf16
     dsp_precision: Any = jax.lax.Precision.HIGH
@@ -327,11 +353,15 @@ class ResUNet30(nn.Module):
         x = x[:, :, :freq_bins - 1, :]
 
         backend = jax.default_backend()
+        import lass_tpu.ops.folded as _F
+        mixed = (self.l1_layout or _F._L1_LAYOUT) == "mixed" \
+            and self.freq_fold == 4
         fused = self.freq_fold > 1 and self.input_channels == 1 and (
-            self.fuse_head is True)
+            self.fuse_head is True) and not mixed
 
         out = ResUNet30Base(self.input_channels, self.output_channels,
                             self.K, freq_fold=self.freq_fold,
+                            l1_layout=self.l1_layout,
                             sparse_conv=self.sparse_conv,
                             fused_head=fused, name="base")(x, film, train)
 

@@ -77,6 +77,11 @@ _CONV_BARRIER = os.environ.get("LASS_TPU_CONV_BARRIER", "pre_act")
 # against the same constant — keeps the canonical activation layout, so
 # the transposed-output copies XLA inserts after the dot disappear).
 _POOL_IMPL = os.environ.get("LASS_TPU_POOL_IMPL", "dot")
+# L1 (widest level) layout: 'freq' (fold-4 frequency, the round-2/3
+# default) or 'mixed' (2x2 time-x-frequency fold with the phase trick in
+# BOTH axes: the conv pair runs (2, 2) kernels at 16/9 of the logical
+# FLOPs vs 8/3 for freq-fold phase — see the mixed-fold section below).
+_L1_LAYOUT = os.environ.get("LASS_TPU_L1_LAYOUT", "freq")
 
 
 
@@ -490,6 +495,250 @@ def folded_convT_2x2(x: jax.Array, w: jax.Array, s_in: int,
         x, kern, window_strides=(1, 1), padding=((1, 1), (0, 0)),
         lhs_dilation=(2, 1),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+# ---------------------------------------------------------------------------
+# Mixed (2x2 time-x-frequency) fold — the L1 level's lowest-FLOP layout.
+#
+# Lane layout: lane = (t_slot, f_slot, c) over a (B, T/2, F/2) grid; slot
+# (rt, rf) of grid cell (tg, fg) holds logical position (2*tg + rt,
+# 2*fg + rf). The conv pair applies the phase trick INDEPENDENTLY in both
+# axes: conv1's output slot (rt, rf) of cell (tg, fg) holds logical
+# (2*tg + rt - 1, 2*fg + rf - 1), reached with a (2, 2) grid kernel (the
+# 2D phase embedding is the tensor product of two 1D s=2 embeddings), and
+# conv2 shifts back. Executed FLOPs per 3x3 conv: (2*2 taps) * (4C)^2 per
+# grid cell = 16/9 of the logical conv — vs 8/3 for the freq-fold-4 phase
+# pair — at full lane utilization. Out-of-range boundary slots (first/last
+# grid row for the time phase, first/last column for the frequency phase)
+# are zeroed between the convs and excluded from train BN statistics, so
+# numerics are EXACT (pinned in tests/test_folded.py).
+# ---------------------------------------------------------------------------
+
+
+def mixed_fold_input(x: jax.Array) -> jax.Array:
+    """(B, T, F, C) -> (B, T//2, F//2, 4*C), lane = (t_slot, f_slot, c).
+    A real transpose — only used on the tiny pre-conv input (C == 1)."""
+    b, t, f, c = x.shape
+    x = x.reshape(b, t // 2, 2, f // 2, 2, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        b, t // 2, f // 2, 4 * c)
+
+
+def mixed_unfold(x: jax.Array) -> jax.Array:
+    """Inverse of mixed_fold_input (testing aid)."""
+    b, tg, fg, sc = x.shape
+    c = sc // 4
+    x = x.reshape(b, tg, fg, 2, 2, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        b, 2 * tg, 2 * fg, c)
+
+
+def _phase2d_kernel(w: jax.Array,
+                    up: bool,
+                    in_groups: Optional[Sequence[int]]) -> jax.Array:
+    """(3, 3, Cin, Cout) logical -> (2, 2, 4*Cin, 4*Cout) mixed-phase
+    kernel: tensor product of the 1D s=2 phase embeddings over the time
+    and frequency axes."""
+    kh, kw, cin_total, cout = w.shape
+    assert kh == 3 and kw == 3
+    e = jnp.asarray(_phase_embedding(2, 3, up))
+    groups = list(in_groups) if in_groups else [cin_total]
+    parts = []
+    ci0 = 0
+    for cg in groups:
+        wg = w[:, :, ci0:ci0 + cg]
+        ci0 += cg
+        # Et[a=tt, i=rit, r=rot, f=dft], Ef[b=tf, j=rif, s=rof, g=dff]
+        kg = jnp.einsum("airf,bjsg,fgcd->abijcrsd", e, e, wg)
+        parts.append(kg.reshape(2, 2, 4 * cg, 4 * cout))
+    return jnp.concatenate(parts, axis=2)
+
+
+def mixed_conv_phase(x: jax.Array, w: jax.Array, up: bool,
+                     in_groups: Optional[Sequence[int]] = None) -> jax.Array:
+    """One half of the mixed-fold phase pair. down: (B, Tg, Fg, 4*Cin) ->
+    (B, Tg+1, Fg+1, 4*Cout) phase-shifted (grid padding (1, 1) both axes);
+    up: phase-shifted -> phase-0 at (B, Tg, Fg, 4*Cout), no padding. The
+    caller MUST zero the out-of-range slots (mixed_garbage_mask) between
+    down and up."""
+    kern = _phase2d_kernel(w, up, in_groups).astype(x.dtype)
+    pad = (0, 0) if up else (1, 1)
+    return jax.lax.conv_general_dilated(
+        x, kern, window_strides=(1, 1), padding=(pad, pad),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@functools.lru_cache(maxsize=None)
+def mixed_garbage_mask(tg: int, fg: int, lanes: int) -> np.ndarray:
+    """(1, tg, fg, lanes) 0/1 mask zeroing the phase-shifted slots whose
+    logical (t, f) position is out of range: t_slot 0 of the first grid
+    row / t_slot 1 of the last, f_slot 0 of the first column / f_slot 1
+    of the last."""
+    c = lanes // 4
+    m = np.ones((1, tg, fg, 2, 2, c), np.float32)
+    m[:, 0, :, 0] = 0.0
+    m[:, tg - 1, :, 1] = 0.0
+    m[:, :, 0, :, 0] = 0.0
+    m[:, :, fg - 1, :, 1] = 0.0
+    return m.reshape(1, tg, fg, lanes)
+
+
+@functools.lru_cache(maxsize=None)
+def _mixed_pool_matrix(c: int) -> np.ndarray:
+    """(4*c, c) constant averaging the four (t_slot, f_slot) copies."""
+    p = np.zeros((4 * c, c), np.float32)
+    for slot in range(4):
+        p[slot * c:(slot + 1) * c] += 0.25 * np.eye(c, dtype=np.float32)
+    return p
+
+
+def mixed_avg_pool_to_fold2(x: jax.Array) -> jax.Array:
+    """2x2 avg pool on a mixed tensor: the four pooled positions are
+    exactly one grid cell's slots, so pooling is ONE lane contraction;
+    the (B, Tg, Fg, C) result then free-reshapes to the L2 level's
+    fold-2 frequency layout (B, Tg, Fg//2, 2*C)."""
+    c = x.shape[-1] // 4
+    m = jnp.asarray(_mixed_pool_matrix(c)).astype(x.dtype)
+    if _POOL_IMPL == "conv":
+        y = jax.lax.conv_general_dilated(
+            x, m[None, None], window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    else:
+        y = jax.lax.dot_general(
+            x, m, dimension_numbers=(((3,), (0,)), ((), ())))
+    return fold_freq(y, 2)
+
+
+def mixed_convT_2x2(x: jax.Array, w: jax.Array) -> jax.Array:
+    """kernel==stride (2, 2) transposed conv from the L2 fold-2 frequency
+    layout (B, Tg, G, 2*Cin) straight into the L1 mixed layout
+    (B, Tg, 2*G, 4*Cout). Every input cell's four output positions live in
+    ONE mixed cell's slots, so the op is a single 1x1 channel-map conv
+    (kern block-diagonal over the input fold slot, which free-unfolds
+    into the output grid column) — no lhs dilation at all.
+    w: (2, 2, Cout, Cin) (the conv_transpose2d param layout)."""
+    _, _, cout, cin = w.shape
+    eye = jnp.asarray(np.eye(2, dtype=np.float32))
+    # kern[(r, ci), (r2, i, j, co)] = W[i, j, co, ci] * delta(r, r2)
+    kern = jnp.einsum("rq,ijoc->rcqijo", eye, w)
+    kern = kern.reshape(1, 1, 2 * cin, 8 * cout).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, kern, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    b, tg, g, _ = y.shape
+    return y.reshape(b, tg, 2 * g, 4 * cout)
+
+
+def mixed_after_conv_transposed(x: jax.Array, w: jax.Array,
+                                bias: jax.Array) -> jax.Array:
+    """The mask-head 1x1 conv on the mixed layout, emitted as a
+    transposed-output dot exactly like folded_after_conv_transposed:
+    (B, Tg, Fg, 4*Cin) x (1, 1, Cin, J) -> unfolded (B, T, F, J)."""
+    b, tg, fg, _ = x.shape
+    j = w.shape[-1]
+    w2d = fold_conv_kernel(w, 4)[0, 0]              # (4*Cin, M), m=slot*J+jj
+    m = w2d.shape[1]
+    perm = np.arange(m).reshape(4, j).T.reshape(-1)  # m' = jj*4 + (rt,rf)
+    w2d = w2d[:, perm].astype(x.dtype)
+    bias_f = jnp.tile(bias, 4)[perm].astype(jnp.float32)
+    l = jax.lax.dot_general(
+        w2d.T, x, dimension_numbers=(((1,), (3,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (M, B, Tg, Fg)
+    l = (l + bias_f[:, None, None, None]).astype(x.dtype)
+    l = l.reshape(j, 2, 2, b, tg, fg)                # (jj, rt, rf, B, Tg, Fg)
+    l = jnp.transpose(l, (3, 4, 1, 5, 2, 0))         # (B, Tg, rt, Fg, rf, jj)
+    return l.reshape(b, 2 * tg, 2 * fg, j)
+
+
+class MixedConvBlockRes(nn.Module):
+    """ConvBlockRes on the L1 mixed 2x2 time-x-frequency fold layout.
+
+    Identical param tree to ConvBlockRes / FoldedConvBlockRes
+    (bn1/bn2/conv1/conv2[/shortcut]); both 3x3 convs run as the 2D
+    phase-shifted (2, 2)-kernel pair at 16/9 of the logical FLOPs. The
+    garbage mask both restores zero-pad semantics (multiply before the
+    up conv) and excludes the boundary slots from bn2's TRAIN batch
+    statistics, so numerics are EXACT (pinned in tests/test_folded.py)."""
+
+    in_channels: int
+    out_channels: int
+    in_groups: Optional[Tuple[int, ...]] = None
+    momentum: float = 0.01
+
+    @nn.compact
+    def __call__(self, x: jax.Array, film, train: bool) -> jax.Array:
+        groups = self.in_groups
+        h = folded_bn_film_act(
+            x, 4, self.in_channels,
+            BatchNorm(self.in_channels, self.momentum, name="bn1"),
+            film["beta1"], train, in_groups=groups)
+        w1, _ = ConvParams((3, 3, self.in_channels, self.out_channels),
+                           name="conv1")()
+        h = mixed_conv_phase(h, w1, up=False, in_groups=groups)
+        if _CONV_BARRIER == "pre_act":
+            h = jax.lax.optimization_barrier(h)
+        mask = mixed_garbage_mask(h.shape[1], h.shape[2], h.shape[3])
+        h = folded_bn_film_act(
+            h, 4, self.out_channels,
+            BatchNorm(self.out_channels, self.momentum, name="bn2"),
+            film["beta2"], train,
+            stats_mask=mask if train else None)
+        if _CONV_BARRIER == "post_act":
+            h = jax.lax.optimization_barrier(h)
+        h = h * jnp.asarray(mask).astype(h.dtype)
+        w2, _ = ConvParams((3, 3, self.out_channels, self.out_channels),
+                           name="conv2")()
+        h = mixed_conv_phase(h, w2, up=True)
+        if self.in_channels != self.out_channels:
+            ws, bs = ConvParams((1, 1, self.in_channels, self.out_channels),
+                                use_bias=True, name="shortcut")()
+            return folded_conv(x, ws, 4, bias=bs, in_groups=groups) + h
+        return x + h
+
+
+class MixedEncoderBlockRes1B(nn.Module):
+    """EncoderBlockRes1B on the mixed L1 layout; the 2x2 pool is one lane
+    contraction and the pooled output lands directly in the L2 level's
+    fold-2 frequency layout."""
+
+    in_channels: int
+    out_channels: int
+    momentum: float = 0.01
+
+    @nn.compact
+    def __call__(self, x: jax.Array, film, train: bool):
+        encoded = MixedConvBlockRes(
+            self.in_channels, self.out_channels, momentum=self.momentum,
+            name="conv_block1")(x, film["conv_block1"], train)
+        return mixed_avg_pool_to_fold2(encoded), encoded
+
+
+class MixedDecoderBlockRes1B(nn.Module):
+    """DecoderBlockRes1B from the L2 fold-2 frequency layout into the L1
+    mixed layout (the model's decoder_block6 when L1 runs mixed). The
+    (2, 2) transposed conv is a single 1x1 channel-map conv
+    (mixed_convT_2x2). Identical param tree (bn1/conv1/conv_block2)."""
+
+    in_channels: int
+    out_channels: int
+    skip_channels: int
+    momentum: float = 0.01
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip_mixed: jax.Array, film,
+                 train: bool) -> jax.Array:
+        bn1 = BatchNorm(self.in_channels, self.momentum, name="bn1")
+        h = folded_bn_film_act(x, 2, self.in_channels, bn1,
+                               film["beta1"], train)
+        wt, _ = ConvParams((2, 2, self.out_channels, self.in_channels),
+                           name="conv1")()
+        h = mixed_convT_2x2(h, wt)
+        h = jnp.concatenate([h, skip_mixed.astype(h.dtype)], axis=-1)
+        return MixedConvBlockRes(
+            self.out_channels + self.skip_channels, self.out_channels,
+            in_groups=(self.out_channels, self.skip_channels),
+            momentum=self.momentum,
+            name="conv_block2")(h, film["conv_block2"], train)
 
 
 class ConvParams(nn.Module):

@@ -246,3 +246,132 @@ def test_resunet_phase_impl_equals_dense_train(rng, monkeypatch):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-4),
         out_grads, ref_grads)
+
+
+def test_mixed_fold_roundtrip(rng):
+    from lass_tpu.ops.folded import mixed_fold_input, mixed_unfold
+
+    x = jnp.asarray(rng.randn(2, 6, 16, 3).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(mixed_unfold(mixed_fold_input(x))), np.asarray(x))
+
+
+@pytest.mark.parametrize("groups", [None, (8, 24)])
+def test_mixed_conv_phase_pair_matches_logical(groups, rng):
+    """Mixed 2D phase-down -> garbage mask -> phase-up == two logical 3x3
+    convs (SAME padding) on the unfolded tensor."""
+    from lass_tpu.ops.folded import (mixed_conv_phase, mixed_fold_input,
+                                     mixed_garbage_mask, mixed_unfold)
+
+    cin = sum(groups) if groups else 16
+    cmid, cout = 24, 20
+    x = jnp.asarray(rng.randn(2, 8, 12, cin).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(3, 3, cin, cmid).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(3, 3, cmid, cout).astype(np.float32) * 0.1)
+
+    def conv(a, w):
+        return jax.lax.conv_general_dilated(
+            a, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    ref = conv(conv(x, w1), w2)
+    if groups:
+        xm = jnp.concatenate(
+            [mixed_fold_input(x[..., :groups[0]]),
+             mixed_fold_input(x[..., groups[0]:])], axis=-1)
+    else:
+        xm = mixed_fold_input(x)
+    h = mixed_conv_phase(xm, w1, up=False, in_groups=groups)
+    h = h * jnp.asarray(mixed_garbage_mask(h.shape[1], h.shape[2],
+                                           h.shape[3]))
+    out = mixed_unfold(mixed_conv_phase(h, w2, up=True))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_mixed_pool_convT_after_conv(rng):
+    """mixed_avg_pool_to_fold2 == 2x2 avg pool (to fold-2 freq layout);
+    mixed_convT_2x2 == kernel==stride (2,2) transposed conv from fold-2
+    into the mixed layout; mixed_after_conv_transposed == plain 1x1."""
+    import flax.linen as nn
+    from lass_tpu.nn.layers import conv_transpose2d
+    from lass_tpu.ops.folded import (
+        mixed_after_conv_transposed, mixed_avg_pool_to_fold2,
+        mixed_convT_2x2, mixed_fold_input, mixed_unfold, unfold_freq)
+
+    x = jnp.asarray(rng.randn(2, 8, 12, 8).astype(np.float32))
+    ref_pool = nn.avg_pool(x, (2, 2), (2, 2))
+    out_pool = unfold_freq(mixed_avg_pool_to_fold2(mixed_fold_input(x)), 2)
+    np.testing.assert_allclose(np.asarray(out_pool), np.asarray(ref_pool),
+                               atol=1e-6)
+
+    xt = jnp.asarray(rng.randn(2, 4, 8, 6).astype(np.float32))
+    mod = conv_transpose2d(5, (2, 2), (2, 2))
+    variables = mod.init(jax.random.PRNGKey(0), xt)
+    ref_t = mod.apply(variables, xt)
+    w = variables["params"]["kernel"]  # (2, 2, out, in)
+    out_t = mixed_unfold(mixed_convT_2x2(fold_freq(xt, 2), w))
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t),
+                               atol=1e-5)
+
+    wa = jnp.asarray(rng.randn(1, 1, 8, 3).astype(np.float32) * 0.1)
+    ba = jnp.asarray(rng.randn(3).astype(np.float32))
+    ref_a = jax.lax.conv_general_dilated(
+        x, wa, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + ba
+    out_a = mixed_after_conv_transposed(mixed_fold_input(x), wa, ba)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(ref_a),
+                               atol=1e-5)
+
+
+def test_resunet_mixed_layout_equals_freq(rng):
+    """Full model, L1 mixed layout == freq layout (eval): same params,
+    same waveform."""
+    x = {"mixture": jnp.asarray(rng.randn(1, 1, 16000).astype(np.float32)),
+         "condition": jnp.asarray(rng.randn(1, 512).astype(np.float32))}
+    ref_model = ResUNet30(freq_fold=4, l1_layout="freq")
+    variables = ref_model.init(jax.random.PRNGKey(0), x, train=False)
+    ref = ref_model.apply(variables, x, train=False)["waveform"]
+    mixed_model = ResUNet30(freq_fold=4, l1_layout="mixed")
+    v2 = mixed_model.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.map(jnp.shape, v2) == jax.tree.map(jnp.shape, variables)
+    out = mixed_model.apply(variables, x, train=False)["waveform"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_resunet_mixed_layout_equals_freq_train(rng):
+    """L1 mixed layout in TRAIN mode == freq layout: forward, updated
+    BatchNorm statistics (bn2 of the L1 blocks sees the 2D phase-shifted
+    layout and masks its boundary slots), and parameter gradients."""
+    x = {"mixture": jnp.asarray(rng.randn(2, 1, 16000).astype(np.float32)),
+         "condition": jnp.asarray(rng.randn(2, 512).astype(np.float32))}
+    model_ref = ResUNet30(freq_fold=4, l1_layout="freq")
+    model_mix = ResUNet30(freq_fold=4, l1_layout="mixed")
+    variables = model_ref.init(jax.random.PRNGKey(0), x, train=False)
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def loss_fn(model):
+        def fn(p):
+            out, new_vars = model.apply(
+                {"params": p, "batch_stats": stats}, x, train=True,
+                mutable=["batch_stats"])
+            return (jnp.mean(jnp.abs(out["waveform"])),
+                    new_vars["batch_stats"])
+        return fn
+
+    (ref_loss, ref_stats), ref_grads = jax.value_and_grad(
+        loss_fn(model_ref), has_aux=True)(params)
+    (out_loss, out_stats), out_grads = jax.value_and_grad(
+        loss_fn(model_mix), has_aux=True)(params)
+
+    # f32 reduction-order noise: the mixed layout reduces the L1 BN batch
+    # statistics over a differently-shaped view than the freq layout
+    np.testing.assert_allclose(float(out_loss), float(ref_loss), atol=4e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5),
+        out_stats, ref_stats)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4),
+        out_grads, ref_grads)
