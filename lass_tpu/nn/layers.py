@@ -104,13 +104,25 @@ class BatchNorm(nn.Module):
                 # ops/folded.py): out-of-range boundary slots are
                 # excluded, so the stats equal the unfolded reference's
                 # EXACTLY (valid slots are a permutation of the logical
-                # positions)
-                m_np = np.asarray(stats_mask, np.float32)
+                # positions). A tuple/list mask is an outer-product
+                # factorization — each broadcastable factor applies
+                # sequentially so the full product never materializes as
+                # a device constant (mixed-fold layout, 33 MB at B=16).
+                factors = (tuple(stats_mask)
+                           if isinstance(stats_mask, (tuple, list))
+                           else (stats_mask,))
+                m_np = np.asarray(factors[0], np.float32)
+                for f in factors[1:]:
+                    m_np = m_np * np.asarray(f, np.float32)
                 assert m_np.ndim == x.ndim
-                xm = xf * jnp.asarray(m_np)
+                xm = xf
+                x2m = jnp.square(xf)
+                for f in factors:
+                    fj = jnp.asarray(np.asarray(f, np.float32))
+                    xm = xm * fj
+                    x2m = x2m * fj
                 sum_p = jnp.sum(xm, axis=reduction_axes)
-                sum2_p = jnp.sum(jnp.square(xf) * jnp.asarray(m_np),
-                                 axis=reduction_axes)
+                sum2_p = jnp.sum(x2m, axis=reduction_axes)
                 bcast = float(np.prod([
                     x.shape[i] for i in reduction_axes
                     if m_np.shape[i] == 1]))

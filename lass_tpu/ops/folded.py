@@ -574,59 +574,79 @@ def mixed_garbage_mask(tg: int, fg: int, lanes: int) -> np.ndarray:
     logical (t, f) position is out of range: t_slot 0 of the first grid
     row / t_slot 1 of the last, f_slot 0 of the first column / f_slot 1
     of the last."""
-    c = lanes // 4
-    m = np.ones((1, tg, fg, 2, 2, c), np.float32)
-    m[:, 0, :, 0] = 0.0
-    m[:, tg - 1, :, 1] = 0.0
-    m[:, :, 0, :, 0] = 0.0
-    m[:, :, fg - 1, :, 1] = 0.0
-    return m.reshape(1, tg, fg, lanes)
+    mt, mf = mixed_garbage_mask_factors(tg, fg, lanes)
+    return mt * mf
 
 
 @functools.lru_cache(maxsize=None)
-def _mixed_pool_matrix(c: int) -> np.ndarray:
-    """(4*c, c) constant averaging the four (t_slot, f_slot) copies."""
-    p = np.zeros((4 * c, c), np.float32)
-    for slot in range(4):
-        p[slot * c:(slot + 1) * c] += 0.25 * np.eye(c, dtype=np.float32)
-    return p
+def mixed_garbage_mask_factors(tg: int, fg: int, lanes: int
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+    """The garbage mask as its exact outer-product factorization
+    (time factor (1, tg, 1, lanes), freq factor (1, 1, fg, lanes)).
+    Applying the two broadcastable factors sequentially avoids
+    materializing the (tg, fg, lanes) product — profiled ~14 ms of
+    constant DMA per forward for the B=16 L1 blocks."""
+    c = lanes // 4
+    mt = np.ones((1, tg, 1, 2, 2, c), np.float32)
+    mt[:, 0, :, 0] = 0.0
+    mt[:, tg - 1, :, 1] = 0.0
+    mf = np.ones((1, 1, fg, 2, 2, c), np.float32)
+    mf[:, :, 0, :, 0] = 0.0
+    mf[:, :, fg - 1, :, 1] = 0.0
+    return (mt.reshape(1, tg, 1, lanes), mf.reshape(1, 1, fg, lanes))
+
+
+@functools.lru_cache(maxsize=None)
+def _mixed_pool_kernel(c: int) -> np.ndarray:
+    """(1, 2, 4*c, 2*c) constant: G-stride-2 conv averaging each grid
+    cell's four (t_slot, f_slot) copies into the fold-2 output lane of
+    the matching frequency parity."""
+    p = np.zeros((2, 4 * c, 2 * c), np.float32)
+    eye = 0.25 * np.eye(c, dtype=np.float32)
+    for r in range(2):
+        for slot in range(4):
+            p[r, slot * c:(slot + 1) * c, r * c:(r + 1) * c] += eye
+    return p[None]
 
 
 def mixed_avg_pool_to_fold2(x: jax.Array) -> jax.Array:
     """2x2 avg pool on a mixed tensor: the four pooled positions are
-    exactly one grid cell's slots, so pooling is ONE lane contraction;
-    the (B, Tg, Fg, C) result then free-reshapes to the L2 level's
-    fold-2 frequency layout (B, Tg, Fg//2, 2*C)."""
+    exactly one grid cell's slots, so pooling is a G-stride-2 conv whose
+    kernel both averages the slots AND routes each input column to its
+    fold-2 output lane — emitting the L2 level's fold-2 frequency layout
+    (B, Tg, Fg//2, 2*C) directly. (The lane-contraction + fold_freq
+    form needs a lane-crossing reshape (C -> 2C minor) that XLA
+    implements as full-tensor retiling copies, profiled ~5 ms at B=16.)
+    """
     c = x.shape[-1] // 4
-    m = jnp.asarray(_mixed_pool_matrix(c)).astype(x.dtype)
-    if _POOL_IMPL == "conv":
-        y = jax.lax.conv_general_dilated(
-            x, m[None, None], window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    else:
-        y = jax.lax.dot_general(
-            x, m, dimension_numbers=(((3,), (0,)), ((), ())))
-    return fold_freq(y, 2)
+    kern = jnp.asarray(_mixed_pool_kernel(c)).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, kern, window_strides=(1, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def mixed_convT_2x2(x: jax.Array, w: jax.Array) -> jax.Array:
     """kernel==stride (2, 2) transposed conv from the L2 fold-2 frequency
     layout (B, Tg, G, 2*Cin) straight into the L1 mixed layout
-    (B, Tg, 2*G, 4*Cout). Every input cell's four output positions live in
-    ONE mixed cell's slots, so the op is a single 1x1 channel-map conv
-    (kern block-diagonal over the input fold slot, which free-unfolds
-    into the output grid column) — no lhs dilation at all.
+    (B, Tg, 2*G, 4*Cout). Every input cell's four output positions live
+    in ONE mixed cell's slots, so frequency upsampling is purely a
+    channel mapping; the factor-2 column growth is emitted as a G-axis
+    lhs-dilated conv writing the interleaved output DIRECTLY (the 1x1
+    conv + (2*G, 4*Cout) reshape form crosses the lane tiling and cost
+    ~10 ms of retiling copies at B=16, exactly like the time axis in
+    folded_convT_2x2). With lhs_dilation 2 and padding (1, 1), kernel
+    tap k serves output column parity q = 1 - k.
     w: (2, 2, Cout, Cin) (the conv_transpose2d param layout)."""
     _, _, cout, cin = w.shape
     eye = jnp.asarray(np.eye(2, dtype=np.float32))
-    # kern[(r, ci), (r2, i, j, co)] = W[i, j, co, ci] * delta(r, r2)
-    kern = jnp.einsum("rq,ijoc->rcqijo", eye, w)
-    kern = kern.reshape(1, 1, 2 * cin, 8 * cout).astype(x.dtype)
-    y = jax.lax.conv_general_dilated(
-        x, kern, window_strides=(1, 1), padding="VALID",
+    # blocks[q, (r, ci), (i, j, o)] = W[i, j, o, ci] * delta(r, q)
+    blocks = jnp.einsum("rq,ijoc->qrcijo", eye, w)
+    blocks = blocks.reshape(2, 2 * cin, 4 * cout)
+    kern = jnp.stack([blocks[1], blocks[0]], axis=0)[None]
+    return jax.lax.conv_general_dilated(
+        x, kern.astype(x.dtype), window_strides=(1, 1),
+        padding=((0, 0), (1, 1)), lhs_dilation=(1, 2),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    b, tg, g, _ = y.shape
-    return y.reshape(b, tg, 2 * g, 4 * cout)
 
 
 def mixed_after_conv_transposed(x: jax.Array, w: jax.Array,
@@ -677,15 +697,20 @@ class MixedConvBlockRes(nn.Module):
         h = mixed_conv_phase(h, w1, up=False, in_groups=groups)
         if _CONV_BARRIER == "pre_act":
             h = jax.lax.optimization_barrier(h)
-        mask = mixed_garbage_mask(h.shape[1], h.shape[2], h.shape[3])
+        # the mask applies as its two broadcastable outer-product factors
+        # so the (tg, fg, lanes) product (33 MB at B=16 shapes) never
+        # materializes as a constant
+        mt, mf = mixed_garbage_mask_factors(h.shape[1], h.shape[2],
+                                            h.shape[3])
         h = folded_bn_film_act(
             h, 4, self.out_channels,
             BatchNorm(self.out_channels, self.momentum, name="bn2"),
             film["beta2"], train,
-            stats_mask=mask if train else None)
+            stats_mask=(mt, mf) if train else None)
         if _CONV_BARRIER == "post_act":
             h = jax.lax.optimization_barrier(h)
-        h = h * jnp.asarray(mask).astype(h.dtype)
+        h = h * jnp.asarray(mt).astype(h.dtype)
+        h = h * jnp.asarray(mf).astype(h.dtype)
         w2, _ = ConvParams((3, 3, self.out_channels, self.out_channels),
                            name="conv2")()
         h = mixed_conv_phase(h, w2, up=True)
