@@ -170,7 +170,11 @@ def bench_train(result: dict, batch: int, iters: int) -> None:
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    # 50 iters: the device executes queued forwards back-to-back (10 us
+    # inter-iteration gaps in the xplane trace), but the final scalar
+    # fetch pays one ~29 ms tunnel round-trip — amortize it so the
+    # number reflects sustained throughput, not fetch latency
+    iters = int(os.environ.get("BENCH_ITERS", "50"))
 
     result = {}
     bench_forward(result, batch, iters)

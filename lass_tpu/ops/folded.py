@@ -73,10 +73,13 @@ _CONVT_IMPL = os.environ.get("LASS_TPU_CONVT_IMPL", "dense")
 # bn2/act — round-2 default), 'post_act' (after the act, letting the act
 # fuse upward into conv1's output fusion), 'off'.
 _CONV_BARRIER = os.environ.get("LASS_TPU_CONV_BARRIER", "pre_act")
-# fold-pair pool averaging: 'dot' (round-2 matmul) or 'conv' (1x1 conv
-# against the same constant — keeps the canonical activation layout, so
-# the transposed-output copies XLA inserts after the dot disappear).
-_POOL_IMPL = os.environ.get("LASS_TPU_POOL_IMPL", "dot")
+# fold-pair pool averaging: 'conv' (DEFAULT — 1x1 conv against the
+# constant refold matrix; the conv emitter writes the canonical
+# activation layout, where the dot's transposed output escaped as a
+# {2,3,1,0}-layout tuple + two full-tensor retiling copies at the
+# encoder_block2 input, ~1 ms/fwd) or 'dot' (the round-2 matmul form —
+# measured 353.1 vs 360.3 clips/s at B=16 under phase).
+_POOL_IMPL = os.environ.get("LASS_TPU_POOL_IMPL", "conv")
 # L1 (widest level) layout: 'freq' (fold-4 frequency, the round-2/3
 # default) or 'mixed' (2x2 time-x-frequency fold with the phase trick in
 # BOTH axes: the conv pair runs (2, 2) kernels at 16/9 of the logical
