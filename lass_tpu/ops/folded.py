@@ -85,6 +85,11 @@ _POOL_IMPL = os.environ.get("LASS_TPU_POOL_IMPL", "conv")
 # BOTH axes: the conv pair runs (2, 2) kernels at 16/9 of the logical
 # FLOPs vs 8/3 for freq-fold phase — see the mixed-fold section below).
 _L1_LAYOUT = os.environ.get("LASS_TPU_L1_LAYOUT", "freq")
+# fused bn+beta+leaky+convT Pallas kernel for the folded decoder blocks
+# (opt-in: measured 279.0 vs 360.2 clips/s full-forward on v5e — Mosaic's
+# pipeline loses to XLA's lhs-dilated conv engine at these shapes, same
+# story as the sparse_conv attempt; kept exactness-pinned behind the flag)
+_FUSED_CONVT = os.environ.get("LASS_TPU_FUSED_CONVT", "0") == "1"
 
 
 
@@ -1030,22 +1035,52 @@ class FoldedDecoderBlockRes1B(nn.Module):
     kernel_size: Tuple[int, int] = (3, 3)
     momentum: float = 0.01
     use_sparse_kernel: Optional[bool] = None
+    # fused bn1+beta+leaky+convT Pallas kernel (ops/pallas_convt): None =
+    # auto (eval forward on TPU backends; XLA cannot fuse the act chain
+    # into the lhs-dilated convT operand, leaving a standalone HBM-bound
+    # elementwise fusion), True forces (tests run interpret off-TPU),
+    # False disables.
+    use_fused_convT: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, skip_folded: jax.Array, film,
                  train: bool) -> jax.Array:
         bn1 = BatchNorm(self.in_channels, self.momentum, name="bn1")
-        if self.input_is_folded and self.fold_in > 1:
-            h = folded_bn_film_act(x, self.fold_in, self.in_channels, bn1,
-                                   film["beta1"], train)
-        else:
-            h = bn1(x, train) \
-                + film["beta1"][:, None, None, :].astype(x.dtype)
-            h = leaky_relu(h)
-            h = fold_freq(h, self.fold_in) if self.fold_in > 1 else h
         wt, _ = ConvParams((2, 2, self.out_channels, self.in_channels),
                            name="conv1")()
-        h = folded_convT_2x2(h, wt.astype(h.dtype), self.fold_in)
+        backend = jax.default_backend()
+        xf = x if (self.input_is_folded or self.fold_in == 1) \
+            else fold_freq(x, self.fold_in)
+        fused = (not train
+                 and self.use_fused_convT is not False
+                 and (self.use_fused_convT is True
+                      or (_FUSED_CONVT and backend in ("tpu", "axon")))
+                 and xf.shape[-1] % 128 == 0 and xf.shape[2] % 8 == 0)
+        if fused:
+            from lass_tpu.ops.pallas_convt import fused_act_convT
+
+            fm = fold_feature_map(self.fold_in, [self.in_channels])
+            inv, shift = bn1(None, False, feature_map=fm,
+                             return_affine=True)
+            beta = film["beta1"][:, fm]
+            e = jnp.asarray(_convT_fold_embedding(self.fold_in))
+            kern = jnp.einsum("rjq,kjoc->krcqo", e, wt[::-1])
+            cl = xf.shape[-1]
+            w_pair = kern.reshape(2, cl, 2 * self.fold_in
+                                  * self.out_channels)[::-1]
+            h = fused_act_convT(
+                xf, inv, shift, beta, w_pair,
+                interpret=backend not in ("tpu", "axon"))
+        else:
+            if self.input_is_folded and self.fold_in > 1:
+                h = folded_bn_film_act(x, self.fold_in, self.in_channels,
+                                       bn1, film["beta1"], train)
+            else:
+                h = bn1(x, train) \
+                    + film["beta1"][:, None, None, :].astype(x.dtype)
+                h = leaky_relu(h)
+                h = fold_freq(h, self.fold_in) if self.fold_in > 1 else h
+            h = folded_convT_2x2(h, wt.astype(h.dtype), self.fold_in)
         s_out = 2 * self.fold_in
         h = jnp.concatenate([h, skip_folded.astype(h.dtype)], axis=-1)
         return FoldedConvBlockRes(

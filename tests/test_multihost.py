@@ -106,7 +106,10 @@ def test_two_process_train_step_and_checkpoint(tmp_path):
             stderr=subprocess.PIPE, text=True)
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=1200) for p in procs]
+    # 2x headroom: the workers compile the full train step on CPU;
+    # under a loaded machine (concurrent TPU bench) the solo ~9.5 min
+    # run can exceed 20 min
+    outs = [p.communicate(timeout=2400) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
     losses = []
