@@ -76,8 +76,10 @@ def bench_forward(result: dict, batch: int, iters: int) -> None:
     from lass_tpu.models.resunet import ResUNet30
 
     samples = 160000  # 10 s @ 16 kHz
+    quant = os.environ.get("BENCH_QUANT", "0") == "1"
     model = ResUNet30(compute_dtype=jnp.bfloat16,
-                      dsp_precision=_dsp_precision())
+                      dsp_precision=_dsp_precision(),
+                      quantize=quant)
     example = {
         "mixture": jnp.zeros((batch, 1, samples), jnp.float32),
         "condition": jnp.zeros((batch, 512), jnp.float32),
@@ -93,6 +95,16 @@ def bench_forward(result: dict, batch: int, iters: int) -> None:
     key = jax.random.PRNGKey(1)
     mixture = jax.random.normal(key, (batch, 1, samples), jnp.float32) * 0.1
     condition = jax.random.normal(key, (batch, 512), jnp.float32)
+
+    if quant:
+        # one-time post-training calibration pass (float math, records
+        # per-lane amax into the 'quant' collection — ops/quant.py)
+        _, quant_vars = jax.jit(
+            lambda m, c: model.apply(
+                variables, {"mixture": m, "condition": c},
+                train=False, mutable=["quant"]),
+        )(mixture, condition)
+        variables = {**variables, **jax.device_get(quant_vars)}
 
     @jax.jit
     def forward_sum(mixture, condition):

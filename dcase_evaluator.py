@@ -17,8 +17,12 @@ from lass_tpu.models.query_encoder import CLAPQueryEncoder
 def eval(evaluator: DCASEEvaluator, checkpoint_path: str,
          config_yaml: str = "config/audiosep_base.yaml",
          query_encoder: CLAPQueryEncoder = None,
-         data_parallel: bool = False):
-    """Reference-compatible harness (dcase_evaluator.py:126-145)."""
+         data_parallel: bool = False, quantize: bool = False):
+    """Reference-compatible harness (dcase_evaluator.py:126-145).
+
+    quantize=True runs the separator on the int8 MXU path (ops/quant.py),
+    calibrated on the first eval batch — the SDR delta vs a float run
+    quantifies the PTQ quality cost on a real checkpoint."""
     from lass_tpu.config import load_config
     from lass_tpu.tasks.audiosep import TrainState
     from lass_tpu.train.loop import build_model
@@ -26,6 +30,8 @@ def eval(evaluator: DCASEEvaluator, checkpoint_path: str,
 
     cfg = load_config(config_yaml)
     model = build_model(cfg)
+    if quantize:
+        model = model.clone(quantize=True)
     variables = load_inference_variables(model, checkpoint_path,
                                          cfg.data.segment_samples,
                                          cfg.model.condition_size)
@@ -39,6 +45,8 @@ def eval(evaluator: DCASEEvaluator, checkpoint_path: str,
         mesh = make_mesh(jax.devices())
     pl_model = SeparationInference(model, variables, query_encoder,
                                    mesh=mesh)
+    if quantize:
+        evaluator.calibrate(pl_model)
 
     print("-------  Start Evaluation  -------")
     sisdr, sdri, sdr = evaluator(pl_model)
@@ -59,6 +67,9 @@ def main():
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard eval batches over all devices "
                         "(the device count must divide batch_size)")
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8 MXU separator (PTQ calibrated on the "
+                        "first eval batch)")
     args = parser.parse_args()
 
     evaluator = DCASEEvaluator(
@@ -68,7 +79,7 @@ def main():
         batch_size=args.batch_size,
     )
     eval(evaluator, args.checkpoint_path, args.config_yaml,
-         data_parallel=args.data_parallel)
+         data_parallel=args.data_parallel, quantize=args.quantize)
 
 
 if __name__ == "__main__":

@@ -84,11 +84,16 @@ def load_inference_variables(model, checkpoint_path: str,
                 jnp.asarray, converted["batch_stats"])}
 
 
-def load_ss_model(configs, checkpoint_path: str, query_encoder=None):
+def load_ss_model(configs, checkpoint_path: str, query_encoder=None,
+                  quantize: bool = False):
     """API-parity wrapper (reference utils.load_ss_model, utils.py:356-400):
     build the separator from a config dict/Config and load a checkpoint
     (orbax dir or torch .ckpt), returning a SeparationInference ready for
-    the DCASE evaluator."""
+    the DCASE evaluator.
+
+    quantize=True builds the separator with the int8 MXU eval path
+    (ops/quant.py); call .calibrate(mixtures, conditions) once before
+    .separate()."""
     from lass_tpu.config import Config, _build
     from lass_tpu.evaluation.dcase import SeparationInference
     from lass_tpu.models.query_encoder import CLAPQueryEncoder
@@ -96,6 +101,8 @@ def load_ss_model(configs, checkpoint_path: str, query_encoder=None):
 
     cfg = configs if isinstance(configs, Config) else _build(Config, configs)
     model = build_model(cfg)
+    if quantize:
+        model = model.clone(quantize=True)
     variables = load_inference_variables(
         model, checkpoint_path, cfg.data.segment_samples,
         cfg.model.condition_size)

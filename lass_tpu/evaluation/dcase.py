@@ -68,6 +68,30 @@ class DCASEEvaluator:
         # instead of one per batch — recompiles are 2-5 min on axon.
         self._fixed_len = int(round(sampling_rate * pad_seconds))
 
+    def calibrate(self, pl_model) -> None:
+        """One-time int8 PTQ calibration on the FIRST eval batch (model
+        loaded with quantize=True — see SeparationInference.calibrate)."""
+        rows = self.eval_list[:self.batch_size]
+        mixtures, captions = [], []
+        for source_name, noise_name, snr, caption in rows:
+            src = load_mono(os.path.join(self.audio_dir,
+                                         f"{source_name}.wav"),
+                            self.sampling_rate)
+            noi = load_mono(os.path.join(self.audio_dir,
+                                         f"{noise_name}.wav"),
+                            self.sampling_rate)
+            _, mix = make_snr_mixture(src, noi, int(snr))
+            mixtures.append(mix)
+            captions.append(caption)
+        batch = np.zeros((self.batch_size, 1, self._fixed_len), np.float32)
+        for i, m in enumerate(mixtures):
+            batch[i, 0, :min(len(m), self._fixed_len)] = \
+                m[:self._fixed_len]
+        captions += [captions[0]] * (self.batch_size - len(captions))
+        conditions = np.asarray(pl_model.query_encoder.get_query_embed(
+            modality="text", text=captions))
+        pl_model.calibrate(batch, conditions)
+
     def __call__(self, pl_model) -> Tuple[float, float, float]:
         """pl_model: object with .query_encoder.get_query_embed and
         .separate(mixtures (B,1,L)) -> (B,1,L) (see SeparationInference).
@@ -157,6 +181,36 @@ class SeparationInference:
 
         self._forward = fwd
         self._jnp = jnp
+
+    def calibrate(self, mixtures: np.ndarray, conditions: np.ndarray
+                  ) -> None:
+        """One-time int8 PTQ calibration (requires the bound model built
+        with quantize=True — see ops/quant.py). Runs the FLOAT path
+        recording per-lane amax into the 'quant' collection, merges it
+        into the bound variables, and re-jits the forward so subsequent
+        separate() calls execute the int8 MXU path. Call once (or several
+        times — amax accumulates) with representative data."""
+        import jax
+
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "quantized eval + data-parallel mesh not wired yet")
+        jnp = self._jnp
+        model, variables = self.model, self.variables
+        _, quant_vars = jax.jit(
+            lambda m, c: model.apply(
+                variables, {"mixture": m, "condition": c},
+                train=False, mutable=["quant"]),
+        )(jnp.asarray(mixtures), jnp.asarray(conditions))
+        if not jax.tree_util.tree_leaves(quant_vars):
+            raise ValueError(
+                "model records no 'quant' scales — build it with "
+                "quantize=True (load_ss_model(..., quantize=True))")
+        merged = {**variables, **jax.device_get(quant_vars)}
+        self.variables = merged
+        self._forward = jax.jit(lambda m, c: model.apply(
+            merged, {"mixture": m, "condition": c},
+            train=False)["waveform"])
 
     def separate(self, mixtures: np.ndarray, conditions: np.ndarray
                  ) -> np.ndarray:

@@ -61,6 +61,9 @@ class ResUNet30Base(nn.Module):
     # block-sparse fused act+conv eval kernel for the folded levels
     # (ops/pallas_folded_conv): None = auto (TPU backends), True/False force
     sparse_conv: Any = None
+    # int8 MXU execution of the folded conv blocks (eval-only, needs a
+    # calibrated 'quant' collection — ops/quant.py): None = LASS_TPU_QUANT
+    quantize: Optional[bool] = None
     # fused_head: skip the folded after_conv and return
     # (h_folded, w_after, b_after) so the caller can run the fused
     # after_conv + mask Pallas kernel (ops/pallas_masking.py). The after_conv
@@ -73,31 +76,45 @@ class ResUNet30Base(nn.Module):
         if self.freq_fold > 1:
             return self._call_folded(x, film, train)
         x = conv2d(32, (1, 1), name="pre_conv", dtype=x.dtype)(x)
-        x1p, x1 = EncoderBlockRes1B(32, 32, (2, 2), name="encoder_block1")(
+        q = self.quantize
+        x1p, x1 = EncoderBlockRes1B(32, 32, (2, 2), quantize=q,
+                                    name="encoder_block1")(
             x, film["encoder_block1"], train)
-        x2p, x2 = EncoderBlockRes1B(32, 64, (2, 2), name="encoder_block2")(
+        x2p, x2 = EncoderBlockRes1B(32, 64, (2, 2), quantize=q,
+                                    name="encoder_block2")(
             x1p, film["encoder_block2"], train)
-        x3p, x3 = EncoderBlockRes1B(64, 128, (2, 2), name="encoder_block3")(
+        x3p, x3 = EncoderBlockRes1B(64, 128, (2, 2), quantize=q,
+                                    name="encoder_block3")(
             x2p, film["encoder_block3"], train)
-        x4p, x4 = EncoderBlockRes1B(128, 256, (2, 2), name="encoder_block4")(
+        x4p, x4 = EncoderBlockRes1B(128, 256, (2, 2), quantize=q,
+                                    name="encoder_block4")(
             x3p, film["encoder_block4"], train)
-        x5p, x5 = EncoderBlockRes1B(256, 384, (2, 2), name="encoder_block5")(
+        x5p, x5 = EncoderBlockRes1B(256, 384, (2, 2), quantize=q,
+                                    name="encoder_block5")(
             x4p, film["encoder_block5"], train)
-        x6p, x6 = EncoderBlockRes1B(384, 384, (1, 2), name="encoder_block6")(
+        x6p, x6 = EncoderBlockRes1B(384, 384, (1, 2), quantize=q,
+                                    name="encoder_block6")(
             x5p, film["encoder_block6"], train)
-        xc, _ = EncoderBlockRes1B(384, 384, (1, 1), name="conv_block7a")(
+        xc, _ = EncoderBlockRes1B(384, 384, (1, 1), quantize=q,
+                                  name="conv_block7a")(
             x6p, film["conv_block7a"], train)
-        h = DecoderBlockRes1B(384, 384, (1, 2), name="decoder_block1")(
+        h = DecoderBlockRes1B(384, 384, (1, 2), quantize=q,
+                              name="decoder_block1")(
             xc, x6, film["decoder_block1"], train)
-        h = DecoderBlockRes1B(384, 384, (2, 2), name="decoder_block2")(
+        h = DecoderBlockRes1B(384, 384, (2, 2), quantize=q,
+                              name="decoder_block2")(
             h, x5, film["decoder_block2"], train)
-        h = DecoderBlockRes1B(384, 256, (2, 2), name="decoder_block3")(
+        h = DecoderBlockRes1B(384, 256, (2, 2), quantize=q,
+                              name="decoder_block3")(
             h, x4, film["decoder_block3"], train)
-        h = DecoderBlockRes1B(256, 128, (2, 2), name="decoder_block4")(
+        h = DecoderBlockRes1B(256, 128, (2, 2), quantize=q,
+                              name="decoder_block4")(
             h, x3, film["decoder_block4"], train)
-        h = DecoderBlockRes1B(128, 64, (2, 2), name="decoder_block5")(
+        h = DecoderBlockRes1B(128, 64, (2, 2), quantize=q,
+                              name="decoder_block5")(
             h, x2, film["decoder_block5"], train)
-        h = DecoderBlockRes1B(64, 32, (2, 2), name="decoder_block6")(
+        h = DecoderBlockRes1B(64, 32, (2, 2), quantize=q,
+                              name="decoder_block6")(
             h, x1, film["decoder_block6"], train)
         return conv2d(self.output_channels * self.K, (1, 1),
                       name="after_conv", dtype=h.dtype)(h)
@@ -124,34 +141,47 @@ class ResUNet30Base(nn.Module):
         else:
             x1p_f, x1_f = FoldedEncoderBlockRes1B(
                 32, 32, s, use_sparse_kernel=self.sparse_conv,
+                quantize=self.quantize,
                 name="encoder_block1")(
                 x, film["encoder_block1"], train)
         # level 2 runs at fold s//2 (the pool's natural output layout)
         x2p_f, x2_f = FoldedEncoderBlockRes1B(
             32, 64, s // 2, use_sparse_kernel=self.sparse_conv,
+            quantize=self.quantize,
             name="encoder_block2")(
             x1p_f, film["encoder_block2"], train)
         x2p = x2p_f  # fold s//4 == 1 for s=4: already the plain layout
-        x3p, x3 = EncoderBlockRes1B(64, 128, (2, 2), name="encoder_block3")(
+        q = self.quantize
+        x3p, x3 = EncoderBlockRes1B(64, 128, (2, 2), quantize=q,
+                                    name="encoder_block3")(
             x2p, film["encoder_block3"], train)
-        x4p, x4 = EncoderBlockRes1B(128, 256, (2, 2), name="encoder_block4")(
+        x4p, x4 = EncoderBlockRes1B(128, 256, (2, 2), quantize=q,
+                                    name="encoder_block4")(
             x3p, film["encoder_block4"], train)
-        x5p, x5 = EncoderBlockRes1B(256, 384, (2, 2), name="encoder_block5")(
+        x5p, x5 = EncoderBlockRes1B(256, 384, (2, 2), quantize=q,
+                                    name="encoder_block5")(
             x4p, film["encoder_block5"], train)
-        x6p, x6 = EncoderBlockRes1B(384, 384, (1, 2), name="encoder_block6")(
+        x6p, x6 = EncoderBlockRes1B(384, 384, (1, 2), quantize=q,
+                                    name="encoder_block6")(
             x5p, film["encoder_block6"], train)
-        xc, _ = EncoderBlockRes1B(384, 384, (1, 1), name="conv_block7a")(
+        xc, _ = EncoderBlockRes1B(384, 384, (1, 1), quantize=q,
+                                  name="conv_block7a")(
             x6p, film["conv_block7a"], train)
-        h = DecoderBlockRes1B(384, 384, (1, 2), name="decoder_block1")(
+        h = DecoderBlockRes1B(384, 384, (1, 2), quantize=q,
+                              name="decoder_block1")(
             xc, x6, film["decoder_block1"], train)
-        h = DecoderBlockRes1B(384, 384, (2, 2), name="decoder_block2")(
+        h = DecoderBlockRes1B(384, 384, (2, 2), quantize=q,
+                              name="decoder_block2")(
             h, x5, film["decoder_block2"], train)
-        h = DecoderBlockRes1B(384, 256, (2, 2), name="decoder_block3")(
+        h = DecoderBlockRes1B(384, 256, (2, 2), quantize=q,
+                              name="decoder_block3")(
             h, x4, film["decoder_block3"], train)
-        h = DecoderBlockRes1B(256, 128, (2, 2), name="decoder_block4")(
+        h = DecoderBlockRes1B(256, 128, (2, 2), quantize=q,
+                              name="decoder_block4")(
             h, x3, film["decoder_block4"], train)
         h = FoldedDecoderBlockRes1B(
             128, 64, 64, fold_in=1, use_sparse_kernel=self.sparse_conv,
+            quantize=self.quantize,
             name="decoder_block5")(
             h, x2_f, film["decoder_block5"], train)
         if mixed:
@@ -162,6 +192,7 @@ class ResUNet30Base(nn.Module):
             h = FoldedDecoderBlockRes1B(
                 64, 32, 32, fold_in=s // 2, input_is_folded=True,
                 use_sparse_kernel=self.sparse_conv,
+                quantize=self.quantize,
                 name="decoder_block6")(
                 h, x1_f, film["decoder_block6"], train)
         w_after, b_after = ConvParams(
@@ -316,6 +347,9 @@ class ResUNet30(nn.Module):
     dsp_precision: Any = jax.lax.Precision.HIGH
     # block-sparse fused act+conv eval kernel for the folded levels
     sparse_conv: Any = None
+    # int8 MXU execution of the folded conv blocks (eval-only; calibrate
+    # with apply(..., mutable=['quant']) once — see ops/quant.py)
+    quantize: Optional[bool] = None
     # fused after_conv+mask Pallas head (folded path): measured SLOWER than
     # the XLA path on v5e — its (B,T,G,M=4)-minor output lane-pads 4->128
     # (32x physical HBM blow-up) and the big-tile variant overflows scoped
@@ -363,6 +397,7 @@ class ResUNet30(nn.Module):
                             self.K, freq_fold=self.freq_fold,
                             l1_layout=self.l1_layout,
                             sparse_conv=self.sparse_conv,
+                            quantize=self.quantize,
                             fused_head=fused, name="base")(x, film, train)
 
         if fused:

@@ -7,7 +7,7 @@ reference does (resunet.py:159-160, 255).
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -31,9 +31,19 @@ class ConvBlockRes(nn.Module):
     out_channels: int
     kernel_size: Tuple[int, int] = (3, 3)
     momentum: float = 0.01
+    # int8 MXU conv execution (eval-only, ops/quant.py): None = env
+    # LASS_TPU_QUANT. Param tree is IDENTICAL either way (kernel/bias
+    # names mirror nn.Conv), so checkpoints are oblivious.
+    quantize: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, film: Dict, train: bool) -> jax.Array:
+        from lass_tpu.ops.folded import _QUANT
+
+        quant = ((self.quantize if self.quantize is not None else _QUANT)
+                 and not train)
+        if quant:
+            return self._call_quant(x, film)
         # dtype=x.dtype: with the default (None), flax promotes the
         # computation to the f32 param dtype, silently running every conv
         # in 3-pass f32 on the MXU when activations are bf16 (profiled at
@@ -52,6 +62,49 @@ class ConvBlockRes(nn.Module):
                           dtype=x.dtype)(x) + h
         return x + h
 
+    def _call_quant(self, x: jax.Array, film: Dict) -> jax.Array:
+        """Eval-only int8 path: same params (ConvParams mirrors nn.Conv's
+        kernel/bias tree), observers in the 'quant' collection. During
+        calibration (mutable 'quant', incl. .init) the convs run FLOAT
+        with identical semantics to the nn.Conv path above."""
+        import jax.numpy as jnp
+
+        from lass_tpu.ops import quant as Q
+        from lass_tpu.ops.folded import ConvParams
+
+        int8 = not self.is_mutable_collection("quant")
+
+        def conv(h, kern, scale, bias=None):
+            if int8:
+                return Q.conv_int8(h, kern, scale, padding="SAME",
+                                   bias=bias)
+            y = jax.lax.conv_general_dilated(
+                h, kern.astype(h.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
+
+        w1, _ = ConvParams((*self.kernel_size, self.in_channels,
+                            self.out_channels), name="conv1")()
+        w2, _ = ConvParams((*self.kernel_size, self.out_channels,
+                            self.out_channels), name="conv2")()
+        h = BatchNorm(self.in_channels, self.momentum, name="bn1")(x, False)
+        h = leaky_relu(h + _bcast(film["beta1"]).astype(h.dtype))
+        s1 = Q.amax_observer(self, "conv1_in", self.in_channels).record(h)
+        h = conv(h, w1, s1)
+        h = BatchNorm(self.out_channels, self.momentum, name="bn2")(h, False)
+        h = leaky_relu(h + _bcast(film["beta2"]).astype(h.dtype))
+        s2 = Q.amax_observer(self, "conv2_in", self.out_channels).record(h)
+        h = conv(h, w2, s2)
+        if self.in_channels != self.out_channels:
+            ws, bs = ConvParams((1, 1, self.in_channels, self.out_channels),
+                                use_bias=True, name="shortcut")()
+            ss = Q.amax_observer(
+                self, "shortcut_in", self.in_channels).record(x)
+            return conv(x, ws, ss, bias=bs) + h
+        return x + h
+
 
 class EncoderBlockRes1B(nn.Module):
     in_channels: int
@@ -59,13 +112,15 @@ class EncoderBlockRes1B(nn.Module):
     downsample: Tuple[int, int]
     kernel_size: Tuple[int, int] = (3, 3)
     momentum: float = 0.01
+    quantize: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, film: Dict, train: bool
                  ) -> Tuple[jax.Array, jax.Array]:
         encoded = ConvBlockRes(
             self.in_channels, self.out_channels, self.kernel_size,
-            self.momentum, name="conv_block1")(x, film["conv_block1"], train)
+            self.momentum, quantize=self.quantize,
+            name="conv_block1")(x, film["conv_block1"], train)
         if self.downsample == (1, 1):
             return encoded, encoded
         return avg_pool(encoded, self.downsample), encoded
@@ -85,6 +140,7 @@ class DecoderBlockRes1B(nn.Module):
     skip_channels: int = -1  # -1 => out_channels
     kernel_size: Tuple[int, int] = (3, 3)
     momentum: float = 0.01
+    quantize: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, skip: jax.Array, film: Dict,
@@ -100,5 +156,6 @@ class DecoderBlockRes1B(nn.Module):
         h = jnp.concatenate([h, skip], axis=-1)
         h = ConvBlockRes(
             self.out_channels + skip_ch, self.out_channels, self.kernel_size,
-            self.momentum, name="conv_block2")(h, film["conv_block2"], train)
+            self.momentum, quantize=self.quantize,
+            name="conv_block2")(h, film["conv_block2"], train)
         return h

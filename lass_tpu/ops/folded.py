@@ -90,6 +90,9 @@ _L1_LAYOUT = os.environ.get("LASS_TPU_L1_LAYOUT", "freq")
 # pipeline loses to XLA's lhs-dilated conv engine at these shapes, same
 # story as the sparse_conv attempt; kept exactness-pinned behind the flag)
 _FUSED_CONVT = os.environ.get("LASS_TPU_FUSED_CONVT", "0") == "1"
+# int8 MXU execution of the folded conv blocks (eval-only; needs a
+# calibration pass — see ops/quant.py). Latched at import.
+_QUANT = os.environ.get("LASS_TPU_QUANT", "0") == "1"
 
 
 
@@ -834,6 +837,9 @@ class FoldedConvBlockRes(nn.Module):
     # None = auto (eval forward on TPU backends), True forces (tests run
     # interpret off-TPU), False disables.
     use_sparse_kernel: Optional[bool] = None
+    # int8 MXU conv execution (eval-only): None = LASS_TPU_QUANT env,
+    # True/False force. Requires calibrated 'quant' scales (ops/quant.py).
+    quantize: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, film, train: bool) -> jax.Array:
@@ -962,10 +968,34 @@ class FoldedConvBlockRes(nn.Module):
         # EXACTLY equal to the dense pair's (pinned in tests/test_folded).
         phase = (_CONV_IMPL == "phase" and s > 1
                  and self.kernel_size == (3, 3))
+        # int8 quantized eval (ops/quant.py): observers are created (and
+        # recorded) whenever quantization is enabled; the int8 convs run
+        # only outside calibration passes (mutable 'quant' = calibrating,
+        # which includes .init) and never in train mode.
+        quant = ((self.quantize if self.quantize is not None else _QUANT)
+                 and not train and phase)
+        if quant:
+            from lass_tpu.ops import quant as Q
+            obs1 = Q.amax_observer(self, "conv1_in", h.shape[-1])
+            obs2 = Q.amax_observer(self, "conv2_in",
+                                   s * self.out_channels)
+            obs_s = (Q.amax_observer(self, "shortcut_in", x.shape[-1])
+                     if self.in_channels != self.out_channels else None)
+            int8 = not self.is_mutable_collection("quant")
+        else:
+            int8 = False
         # layout preserved: grouped input needs the grouped folded kernel
         w1, _ = ConvParams((*self.kernel_size, self.in_channels,
                             self.out_channels), name="conv1")()
-        if phase:
+        kh = self.kernel_size[0]
+        if quant:
+            scale1 = obs1.record(h)
+        if int8:
+            from lass_tpu.ops import quant as Q
+            kern1 = _phase_kernel(w1, s, False, groups)
+            h = Q.conv_int8(h, kern1, scale1,
+                            padding=((kh // 2, kh // 2), (1, 1)))
+        elif phase:
             h = folded_conv_phase(h, w1, s, up=False, in_groups=groups)
         else:
             h = conv3(h, w1, s, in_groups=groups)
@@ -989,12 +1019,28 @@ class FoldedConvBlockRes(nn.Module):
                             self.out_channels), name="conv2")()
         if phase:
             h = h * jnp.asarray(mask).astype(h.dtype)
-            h = folded_conv_phase(h, w2, s, up=True)
+            if quant:
+                scale2 = obs2.record(h)
+            if int8:
+                from lass_tpu.ops import quant as Q
+                kern2 = _phase_kernel(w2, s, True, None)
+                h = Q.conv_int8(h, kern2, scale2,
+                                padding=((kh // 2, kh // 2), (0, 0)))
+            else:
+                h = folded_conv_phase(h, w2, s, up=True)
         else:
             h = conv3(h, w2, s)
         if self.in_channels != self.out_channels:
             ws, bs = ConvParams((1, 1, self.in_channels, self.out_channels),
                                 use_bias=True, name="shortcut")()
+            if quant:
+                scale_s = obs_s.record(x)
+            if int8:
+                from lass_tpu.ops import quant as Q
+                kern_s = fold_conv_kernel(ws, s, groups)
+                return Q.conv_int8(
+                    x, kern_s, scale_s, padding="SAME",
+                    bias=jnp.tile(bs, s)) + h
             return folded_conv(x, ws, s, bias=bs, in_groups=groups) + h
         return x + h
 
@@ -1009,6 +1055,7 @@ class FoldedEncoderBlockRes1B(nn.Module):
     kernel_size: Tuple[int, int] = (3, 3)
     momentum: float = 0.01
     use_sparse_kernel: Optional[bool] = None
+    quantize: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, film, train: bool):
@@ -1016,6 +1063,7 @@ class FoldedEncoderBlockRes1B(nn.Module):
             self.in_channels, self.out_channels, self.fold,
             kernel_size=self.kernel_size, momentum=self.momentum,
             use_sparse_kernel=self.use_sparse_kernel,
+            quantize=self.quantize,
             name="conv_block1")(x, film["conv_block1"], train)
         return folded_avg_pool_2x2(encoded, self.fold), encoded
 
@@ -1041,6 +1089,8 @@ class FoldedDecoderBlockRes1B(nn.Module):
     # elementwise fusion), True forces (tests run interpret off-TPU),
     # False disables.
     use_fused_convT: Optional[bool] = None
+    # int8 MXU conv execution (eval-only, ops/quant.py): None = env.
+    quantize: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, skip_folded: jax.Array, film,
@@ -1051,7 +1101,9 @@ class FoldedDecoderBlockRes1B(nn.Module):
         backend = jax.default_backend()
         xf = x if (self.input_is_folded or self.fold_in == 1) \
             else fold_freq(x, self.fold_in)
-        fused = (not train
+        quant = ((self.quantize if self.quantize is not None else _QUANT)
+                 and not train)
+        fused = (not train and not quant
                  and self.use_fused_convT is not False
                  and (self.use_fused_convT is True
                       or (_FUSED_CONVT and backend in ("tpu", "axon")))
@@ -1080,7 +1132,23 @@ class FoldedDecoderBlockRes1B(nn.Module):
                     + film["beta1"][:, None, None, :].astype(x.dtype)
                 h = leaky_relu(h)
                 h = fold_freq(h, self.fold_in) if self.fold_in > 1 else h
-            h = folded_convT_2x2(h, wt.astype(h.dtype), self.fold_in)
+            if quant:
+                from lass_tpu.ops import quant as Q
+                scale_t = Q.amax_observer(
+                    self, "convt_in", h.shape[-1]).record(h)
+                if not self.is_mutable_collection("quant"):
+                    e = jnp.asarray(_convT_fold_embedding(self.fold_in))
+                    kern = jnp.einsum("rjq,kjoc->krcqo", e, wt[::-1])
+                    kern = kern.reshape(2, 1, self.fold_in * wt.shape[-1],
+                                        2 * self.fold_in * wt.shape[-2])
+                    h = Q.conv_int8(h, kern, scale_t,
+                                    padding=((1, 1), (0, 0)),
+                                    lhs_dilation=(2, 1))
+                else:
+                    h = folded_convT_2x2(h, wt.astype(h.dtype),
+                                         self.fold_in)
+            else:
+                h = folded_convT_2x2(h, wt.astype(h.dtype), self.fold_in)
         s_out = 2 * self.fold_in
         h = jnp.concatenate([h, skip_folded.astype(h.dtype)], axis=-1)
         return FoldedConvBlockRes(
@@ -1088,4 +1156,5 @@ class FoldedDecoderBlockRes1B(nn.Module):
             s_out, in_groups=(self.out_channels, self.skip_channels),
             kernel_size=self.kernel_size, momentum=self.momentum,
             use_sparse_kernel=self.use_sparse_kernel,
+            quantize=self.quantize,
             name="conv_block2")(h, film["conv_block2"], train)

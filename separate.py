@@ -20,6 +20,9 @@ def main():
     parser.add_argument("--config_yaml", default="config/audiosep_base.yaml")
     parser.add_argument("--chunked", action="store_true",
                         help="overlapped-window inference for long audio")
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8 MXU inference (PTQ, calibrated on the "
+                             "input itself — ops/quant.py)")
     args = parser.parse_args()
 
     import numpy as np
@@ -30,7 +33,8 @@ def main():
     from lass_tpu.convert.checkpoint_io import load_ss_model
 
     cfg = load_config(args.config_yaml)
-    model = load_ss_model(cfg, args.checkpoint_path)
+    model = load_ss_model(cfg, args.checkpoint_path,
+                          quantize=args.quantize)
 
     audio, sr = read_wav(args.input, mono=True)
     wave = audio[0]
@@ -39,6 +43,15 @@ def main():
 
     condition = np.asarray(model.query_encoder.get_query_embed(
         "text", text=[args.query]))
+
+    if args.quantize:
+        # calibrate on the (query-conditioned) input itself: the tightest
+        # possible amax coverage for this separation
+        seg = cfg.data.segment_samples
+        head = np.zeros((1, 1, seg), np.float32)
+        n = min(seg, len(wave))
+        head[0, 0, :n] = wave[:n]
+        model.calibrate(head, condition)
 
     if args.chunked:
         separated = model.separate_long(

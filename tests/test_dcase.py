@@ -165,6 +165,38 @@ def test_evaluator_single_static_shape(tmp_path, rng):
     assert model.shapes[0][0] == (2, 1, 16000)
 
 
+def test_evaluator_quantized_close_to_float(eval_set, rng):
+    """--quantize analog: SeparationInference with quantize=True,
+    calibrated on the first eval batch, must score within ~1 dB SDR of
+    the float evaluator run (random-weight model, tiny eval set)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lass_tpu.evaluation.dcase import SeparationInference
+    from lass_tpu.models.resunet import ResUNet30
+
+    csv_path, audio_dir = eval_set
+
+    ex = {"mixture": jnp.zeros((3, 1, 16000), jnp.float32),
+          "condition": jnp.zeros((3, 512), jnp.float32)}
+    variables = ResUNet30(freq_fold=4).init(
+        jax.random.PRNGKey(0), ex, train=False)
+
+    def run(quantize):
+        model = ResUNet30(freq_fold=4, quantize=quantize)
+        pl = SeparationInference(model, variables, IdentityModel._QE())
+        ev = DCASEEvaluator(16000, csv_path, audio_dir, batch_size=3,
+                            pad_seconds=1.0)
+        if quantize:
+            ev.calibrate(pl)
+        return ev(pl)
+
+    f_sisdr, f_sdri, f_sdr = run(False)
+    q_sisdr, q_sdri, q_sdr = run(True)
+    assert abs(q_sdr - f_sdr) < 1.0, (q_sdr, f_sdr)
+    assert abs(q_sdri - f_sdri) < 1.0, (q_sdri, f_sdri)
+
+
 def test_separation_inference_mesh_parity(rng):
     """SeparationInference(mesh=8-device DP) == single-device output."""
     import jax

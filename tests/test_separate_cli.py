@@ -53,3 +53,19 @@ def test_separate_cli(tmp_path, rng):
     assert result.returncode == 0, result.stderr[-2000:]
     audio, sr = read_wav(str(out))
     assert sr == 16000 and audio.shape == (1, 16000)
+
+    # int8 PTQ path (--quantize): calibrate-on-input then int8 separate;
+    # output must stay close to the float CLI output
+    outq = tmp_path / "sep_q.wav"
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "separate.py"),
+         "--checkpoint_path", str(tmp_path / "ckpts"),
+         "--input", str(mix), "--query", "a dog barking",
+         "--output", str(outq), "--config_yaml", str(cfg_yaml),
+         "--quantize"],
+        env=ENV, capture_output=True, text=True, timeout=1200)
+    assert result.returncode == 0, result.stderr[-2000:]
+    audio_q, _ = read_wav(str(outq))
+    ref, got = audio.astype(np.float64), audio_q.astype(np.float64)
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-30)
+    assert rel < 0.2, rel
