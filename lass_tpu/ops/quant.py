@@ -69,6 +69,34 @@ def quantize_act(x: jax.Array, scale: jax.Array) -> jax.Array:
     return jnp.clip(jnp.round(z), -127.0, 127.0).astype(jnp.int8)
 
 
+# LASS_TPU_QUANT_IMPL: 'conv' (int8 lax.conv) or 'dot' (sum of shifted
+# int8 dot_generals — the hedge if XLA's int8 conv path is slow on the
+# target chip; exactly the same int32 accumulation, pinned in tests)
+_IMPL = os.environ.get("LASS_TPU_QUANT_IMPL", "conv")
+
+
+def _conv_int8_dot(xq: jax.Array, kq: jax.Array, padding) -> jax.Array:
+    """int8 NHWC conv as sum over kernel taps of int8 matmuls: each tap
+    (dt, dg) contributes shifted_x @ W[dt, dg] with int32 accumulation.
+    Taps stay separate dots so each runs the MXU's s8xs8->s32 path."""
+    kh, kw, _, _ = kq.shape
+    (pt0, pt1), (pg0, pg1) = padding
+    xp = jnp.pad(xq, ((0, 0), (pt0, pt1), (pg0, pg1), (0, 0)))
+    t_out = xp.shape[1] - kh + 1
+    g_out = xp.shape[2] - kw + 1
+    acc = None
+    for dt in range(kh):
+        for dg in range(kw):
+            win = jax.lax.slice(
+                xp, (0, dt, dg, 0),
+                (xp.shape[0], dt + t_out, dg + g_out, xp.shape[3]))
+            part = jax.lax.dot_general(
+                win, kq[dt, dg], (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc = part if acc is None else acc + part
+    return acc
+
+
 def conv_int8(x: jax.Array, kern: jax.Array, x_scale: jax.Array,
               *, padding, bias: Optional[jax.Array] = None,
               lhs_dilation=None, out_dtype=None) -> jax.Array:
@@ -82,11 +110,17 @@ def conv_int8(x: jax.Array, kern: jax.Array, x_scale: jax.Array,
     kq, sw = quantize_weight(kern.astype(jnp.float32)
                              * x_scale[None, None, :, None])
     xq = quantize_act(x, x_scale)
-    y = jax.lax.conv_general_dilated(
-        xq, kq, window_strides=(1, 1), padding=padding,
-        lhs_dilation=lhs_dilation,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32)
+    if _IMPL == "dot" and lhs_dilation is None:
+        kh, kw = kern.shape[:2]
+        pad = (((kh // 2, kh // 2), (kw // 2, kw // 2))
+               if padding == "SAME" else padding)
+        y = _conv_int8_dot(xq, kq, pad)
+    else:
+        y = jax.lax.conv_general_dilated(
+            xq, kq, window_strides=(1, 1), padding=padding,
+            lhs_dilation=lhs_dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * sw
     if bias is not None:
         y = y + bias.astype(jnp.float32)

@@ -40,6 +40,21 @@ def test_conv_int8_close_to_float(rng):
     assert rel < 0.02, rel
 
 
+@pytest.mark.parametrize("kh,kw,pad", [
+    (3, 2, ((1, 1), (1, 1))), (3, 3, "SAME"), (1, 1, "SAME"),
+    (3, 2, ((1, 1), (0, 0)))])
+def test_conv_int8_dot_impl_exact(rng, monkeypatch, kh, kw, pad):
+    """LASS_TPU_QUANT_IMPL=dot (shifted int8 matmuls) must equal the int8
+    conv bit-for-bit — same quantization, same int32 accumulation."""
+    x = jnp.asarray(rng.randn(2, 8, 12, 16).astype(np.float32))
+    w = jnp.asarray((rng.randn(kh, kw, 16, 8) * 0.2).astype(np.float32))
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=(0, 1, 2)), 1e-12) / 127.0
+    ref = Q.conv_int8(x, w, scale, padding=pad)
+    monkeypatch.setattr(Q, "_IMPL", "dot")
+    out = Q.conv_int8(x, w, scale, padding=pad)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_conv_int8_lhs_dilation(rng):
     """The convT-as-dilated-conv path used by the folded decoder."""
     x = jnp.asarray(rng.randn(1, 8, 16, 8).astype(np.float32))
