@@ -182,11 +182,12 @@ def bench_train(result: dict, batch: int, iters: int) -> None:
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
-    # 50 iters: the device executes queued forwards back-to-back (10 us
+    # 100 iters: the device executes queued forwards back-to-back (10 us
     # inter-iteration gaps in the xplane trace), but the final scalar
     # fetch pays one ~29 ms tunnel round-trip — amortize it so the
-    # number reflects sustained throughput, not fetch latency
-    iters = int(os.environ.get("BENCH_ITERS", "50"))
+    # number reflects sustained throughput, not fetch latency (at 50
+    # iters the fetch still cost ~1.3% of the measurement)
+    iters = int(os.environ.get("BENCH_ITERS", "100"))
 
     result = {}
     bench_forward(result, batch, iters)
