@@ -2,7 +2,18 @@
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
-   "parity_rel_err": r, "train_steps_per_sec": T, "train_vs_baseline": N}
+   "quantization": "int8-ptq", "parity_rel_err": r,
+   "bf16_clips_per_sec": N, "bf16_parity_rel_err": r,
+   "train_steps_per_sec": T, "train_vs_baseline": N}
+
+Headline configuration: the shipped production inference path — int8
+post-training quantization of the hot convs on the int8 MXU
+(ops/quant.py, exposed as `separate.py --quantize` and
+`dcase_evaluator.py --quantize`). Both it AND the unquantized bf16 path
+are parity-gated on-hardware against the same committed CPU
+float32/HIGHEST golden (the int8 run's rel err ~0.041 vs tol 0.065,
+bf16 ~0.019; quantized DCASE eval is additionally pinned within 1 dB of
+float in tests). BENCH_QUANT=0 makes bf16 the headline.
 
 Baseline note (BASELINE.md): the reference publishes no inference throughput.
 The only derivable A100 number is the implied training throughput — 200k
@@ -45,7 +56,8 @@ GOLDEN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "tests", "golden", "bench_forward_b16.npz")
 
 
-def check_parity(out_full: np.ndarray, result: dict) -> None:
+def check_parity(out_full: np.ndarray, result: dict,
+                 prefix: str = "") -> None:
     """Compare the timed forward's output against the committed CPU
     HIGHEST golden; record rel err and fail loudly above tolerance."""
     golden = np.load(GOLDEN_PATH)
@@ -53,11 +65,12 @@ def check_parity(out_full: np.ndarray, result: dict) -> None:
     ref = golden["values"].astype(np.float64)
     got = out_full.reshape(-1)[::stride].astype(np.float64)
     if got.shape != ref.shape:
-        result["parity"] = (f"shape mismatch: {got.shape} vs {ref.shape}")
+        result[prefix + "parity"] = (
+            f"shape mismatch: {got.shape} vs {ref.shape}")
         return
     rel = float(np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-30))
-    result["parity_rel_err"] = round(rel, 6)
-    result["parity_tol"] = float(golden["tol"])
+    result[prefix + "parity_rel_err"] = round(rel, 6)
+    result[prefix + "parity_tol"] = float(golden["tol"])
     if rel > float(golden["tol"]):
         print(json.dumps(result))
         raise SystemExit(
@@ -72,11 +85,13 @@ def _dsp_precision():
     return getattr(jax.lax.Precision, name)
 
 
-def bench_forward(result: dict, batch: int, iters: int) -> None:
+def _measure_forward(batch: int, iters: int, quant: bool,
+                     result: dict, prefix: str = "") -> float:
+    """Time one inference configuration; record clips/s (+ parity vs the
+    committed golden when batch == 16) into `result` under `prefix`."""
     from lass_tpu.models.resunet import ResUNet30
 
     samples = 160000  # 10 s @ 16 kHz
-    quant = os.environ.get("BENCH_QUANT", "0") == "1"
     model = ResUNet30(compute_dtype=jnp.bfloat16,
                       dsp_precision=_dsp_precision(),
                       quantize=quant)
@@ -120,20 +135,38 @@ def bench_forward(result: dict, batch: int, iters: int) -> None:
         out = forward_sum(mixture, condition)
     float(out)
     dt = time.perf_counter() - t0
-
     clips_per_sec = batch * iters / dt
-    result["metric"] = "sep_10s_clips_per_sec_per_chip"
-    result["value"] = round(clips_per_sec, 2)
-    result["unit"] = "clips/s"
-    result["vs_baseline"] = round(clips_per_sec / A100_PROXY_CLIPS_PER_SEC, 2)
 
     # numerical gate on the EXACT forward that was timed (same jit, same
     # inputs) — golden is committed for the default batch only
     if batch == 16 and os.path.exists(GOLDEN_PATH):
         out_full = np.asarray(forward(mixture, condition))
-        check_parity(out_full, result)
+        check_parity(out_full, result, prefix)
     else:
-        result["parity"] = "skipped (non-default batch or missing golden)"
+        result[prefix + "parity"] = (
+            "skipped (non-default batch or missing golden)")
+    return clips_per_sec
+
+
+def bench_forward(result: dict, batch: int, iters: int) -> None:
+    # Headline = the shipped production inference configuration: int8 PTQ
+    # (ops/quant.py, `separate.py --quantize`), parity-gated on-hardware
+    # against the CPU float32/HIGHEST golden. The bf16 (non-quantized)
+    # path is timed and gated alongside as `bf16_clips_per_sec`.
+    # BENCH_QUANT=0 makes bf16 the headline (and skips the int8 run).
+    quant = os.environ.get("BENCH_QUANT", "1") == "1"
+    result["metric"] = "sep_10s_clips_per_sec_per_chip"
+    result["unit"] = "clips/s"
+    if quant:
+        clips = _measure_forward(batch, iters, True, result)
+        result["quantization"] = "int8-ptq"
+        bf16 = _measure_forward(batch, iters, False, result, prefix="bf16_")
+        result["bf16_clips_per_sec"] = round(bf16, 2)
+    else:
+        clips = _measure_forward(batch, iters, False, result)
+        result["quantization"] = "none (BENCH_QUANT=0)"
+    result["value"] = round(clips, 2)
+    result["vs_baseline"] = round(clips / A100_PROXY_CLIPS_PER_SEC, 2)
 
 
 def bench_train(result: dict, batch: int, iters: int) -> None:
