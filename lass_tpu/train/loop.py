@@ -272,6 +272,10 @@ def _opt_shardings(opt_state, p_shard, rep):
     from lass_tpu.train.optim import TorchAmsgradState
 
     ams, rest = opt_state
-    return (TorchAmsgradState(count=rep, mu=p_shard, nu=p_shard,
-                              nu_max=p_shard),
+    # optax.flatten (build_optimizer flatten=True) stores the moments as
+    # ONE flat vector — replicate it (under pure DP that equals p_shard;
+    # under TP the flat buffer can't follow per-param shardings).
+    moment = rep if isinstance(ams.mu, jax.Array) else p_shard
+    return (TorchAmsgradState(count=rep, mu=moment, nu=moment,
+                              nu_max=moment),
             jax.tree_util.tree_map(lambda _: rep, rest))

@@ -7,7 +7,8 @@ equivalent jnp schedule (branchless, jit-safe).
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+import os
+from typing import Callable, NamedTuple, Optional
 
 import chex
 import jax
@@ -112,13 +113,26 @@ def build_optimizer(
     lr_lambda_type: str,
     warm_up_steps: int,
     reduce_lr_steps: int,
+    flatten: Optional[bool] = None,
 ) -> optax.GradientTransformation:
     if optimizer_type != "AdamW":
         raise NotImplementedError(f"optimizer '{optimizer_type}'")
     lam = get_lr_schedule(lr_lambda_type, warm_up_steps, reduce_lr_steps)
     # torch AdamW with weight_decay=0.0 and amsgrad=True (betas 0.9/0.999,
     # eps 1e-8 — reference models/audiosep.py:122-130), LambdaLR per-step
-    return optax.chain(
+    tx = optax.chain(
         scale_by_torch_amsgrad(b1=0.9, b2=0.999, eps=1e-8),
         optax.scale_by_learning_rate(
             lambda step: learning_rate * lam(step)))
+    if flatten is None:
+        flatten = os.environ.get("LASS_TPU_FLAT_OPT", "1") == "1"
+    if flatten:
+        # Run the (purely elementwise) update on ONE concatenated vector:
+        # per-tensor updates over ~450 small arrays spend 126 ms/step on
+        # v5e staging each tiny tensor through scratch memory (~3k async
+        # copies/step, measured via scripts/xplane_groups.py); the flat
+        # form is a handful of big fused ops. Bitwise-identical math.
+        # Moment buffers become flat vectors — shard them replicated under
+        # TP (train/loop.py:_opt_shardings handles both layouts).
+        tx = optax.flatten(tx)
+    return tx

@@ -114,3 +114,40 @@ def test_optimizer_matches_torch_adamw_amsgrad(rng):
         params = optax.apply_updates(params, updates)
     np.testing.assert_allclose(np.asarray(params), tp.detach().numpy(),
                                atol=2e-6)
+
+
+def test_flat_optimizer_bitwise_matches_tree(rng):
+    """optax.flatten form (the perf default) is bitwise-identical to the
+    per-tensor tree form on a ragged param tree, and its moment buffers
+    are flat vectors (what train/loop.py's sharding logic keys on)."""
+    import optax
+    from lass_tpu.train.optim import TorchAmsgradState
+
+    params = {
+        "a": {"kernel": jnp.asarray(rng.randn(7, 5).astype(np.float32)),
+              "bias": jnp.asarray(rng.randn(5).astype(np.float32))},
+        "b": jnp.asarray(rng.randn(3, 2, 4).astype(np.float32)),
+    }
+    grads_seq = [
+        jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32)),
+            params)
+        for _ in range(4)
+    ]
+    results = {}
+    for flatten in (False, True):
+        opt = build_optimizer("AdamW", 1e-3, "linear_warm_up", 10, 1000,
+                              flatten=flatten)
+        p = params
+        state = opt.init(p)
+        ams = state[0]
+        assert isinstance(ams, TorchAmsgradState)
+        assert isinstance(ams.mu, jax.Array) == flatten
+        for g in grads_seq:
+            updates, state = opt.update(g, state, p)
+            p = optax.apply_updates(p, updates)
+        results[flatten] = p
+    flat_leaves = jax.tree_util.tree_leaves(results[True])
+    tree_leaves = jax.tree_util.tree_leaves(results[False])
+    for a, b in zip(flat_leaves, tree_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
