@@ -17,7 +17,8 @@ from lass_tpu.models.query_encoder import CLAPQueryEncoder
 def eval(evaluator: DCASEEvaluator, checkpoint_path: str,
          config_yaml: str = "config/audiosep_base.yaml",
          query_encoder: CLAPQueryEncoder = None,
-         data_parallel: bool = False, quantize: bool = False):
+         data_parallel: bool = False, quantize: bool = False,
+         dsp_precision: str = None):
     """Reference-compatible harness (dcase_evaluator.py:126-145).
 
     quantize=True runs the separator on the int8 MXU path (ops/quant.py),
@@ -29,6 +30,8 @@ def eval(evaluator: DCASEEvaluator, checkpoint_path: str,
     from lass_tpu.convert.checkpoint_io import load_inference_variables
 
     cfg = load_config(config_yaml)
+    if dsp_precision:
+        cfg.model.dsp_precision = dsp_precision
     model = build_model(cfg)
     if quantize:
         model = model.clone(quantize=True)
@@ -70,6 +73,11 @@ def main():
     parser.add_argument("--quantize", action="store_true",
                         help="int8 MXU separator (PTQ calibrated on the "
                         "first eval batch)")
+    parser.add_argument("--dsp_precision", default=None,
+                        choices=["default", "high", "highest"],
+                        help="MXU passes for the STFT/ISTFT/mask matmuls "
+                             "(overrides config; 'default' is the fast "
+                             "production setting)")
     args = parser.parse_args()
 
     evaluator = DCASEEvaluator(
@@ -79,7 +87,8 @@ def main():
         batch_size=args.batch_size,
     )
     eval(evaluator, args.checkpoint_path, args.config_yaml,
-         data_parallel=args.data_parallel, quantize=args.quantize)
+         data_parallel=args.data_parallel, quantize=args.quantize,
+         dsp_precision=args.dsp_precision)
 
 
 if __name__ == "__main__":

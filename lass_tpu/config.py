@@ -52,6 +52,10 @@ class ModelConfig:
     use_text_ratio: float = 1.0
     # TPU-native extensions (absent keys default; reference has no equivalent)
     compute_dtype: str = "bfloat16"
+    # MXU passes for the STFT/ISTFT/mask-head matmuls: 'default' (1-pass
+    # bf16 — the fast production setting, on-hardware parity-gated in
+    # bench.py), 'high' (3-pass), 'highest' (f32, exact-parity eval)
+    dsp_precision: str = "high"
 
 
 @dataclasses.dataclass

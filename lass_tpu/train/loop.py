@@ -51,11 +51,18 @@ def build_model(cfg: Config):
         raise NotImplementedError(cfg.model.model_type)
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" \
         else jnp.float32
+    try:
+        dsp = getattr(jax.lax.Precision, cfg.model.dsp_precision.upper())
+    except AttributeError:
+        raise ValueError(
+            f"model.dsp_precision must be one of default/high/highest, "
+            f"got {cfg.model.dsp_precision!r}")
     return ResUNet30(
         input_channels=cfg.model.input_channels,
         output_channels=cfg.model.output_channels,
         condition_size=cfg.model.condition_size,
         compute_dtype=dtype,
+        dsp_precision=dsp,
     )
 
 

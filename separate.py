@@ -23,6 +23,11 @@ def main():
     parser.add_argument("--quantize", action="store_true",
                         help="int8 MXU inference (PTQ, calibrated on the "
                              "input itself — ops/quant.py)")
+    parser.add_argument("--dsp_precision", default=None,
+                        choices=["default", "high", "highest"],
+                        help="MXU passes for the STFT/ISTFT/mask matmuls "
+                             "(overrides config; 'default' is the fast "
+                             "production setting)")
     args = parser.parse_args()
 
     import numpy as np
@@ -33,6 +38,8 @@ def main():
     from lass_tpu.convert.checkpoint_io import load_ss_model
 
     cfg = load_config(args.config_yaml)
+    if args.dsp_precision:
+        cfg.model.dsp_precision = args.dsp_precision
     model = load_ss_model(cfg, args.checkpoint_path,
                           quantize=args.quantize)
 
