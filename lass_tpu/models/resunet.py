@@ -17,6 +17,7 @@ relu output magnitude, ISTFT back to the input length).
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -35,6 +36,20 @@ from lass_tpu.nn.blocks import DecoderBlockRes1B, EncoderBlockRes1B
 from lass_tpu.nn.layers import BatchNorm, conv2d
 
 TIME_DOWNSAMPLE_RATIO = 32  # 2 ** (number of time-downsampling encoder blocks)
+
+# Training rematerialization of the residual blocks (LASS_TPU_REMAT /
+# ResUNet30.remat): 'none' saves every intermediate (XLA spills the big
+# wide-level activations to HBM and the bwd pays the copy traffic back),
+# 'wide' remats only the folded wide levels (encoder_block1/2 +
+# decoder_block5/6 — the [B,1024,*,128]-class tensors the xplane rollup
+# attributes ~41 ms/step of bwd copies to), 'all' remats every block.
+# Remat is a no-op wrapper at eval (no grads) and keeps the param tree
+# byte-identical (flax lifted transform).
+_REMAT = os.environ.get("LASS_TPU_REMAT", "none")
+
+
+def _maybe_remat(cls, static_argnums, enabled: bool):
+    return nn.remat(cls, static_argnums=static_argnums) if enabled else cls
 
 
 class ResUNet30Base(nn.Module):
@@ -69,52 +84,66 @@ class ResUNet30Base(nn.Module):
     # after_conv + mask Pallas kernel (ops/pallas_masking.py). The after_conv
     # params are created either way — the parameter tree is identical.
     fused_head: bool = False
+    # training remat of the residual blocks: 'none'/'wide'/'all'
+    # (None = env LASS_TPU_REMAT; see _REMAT above)
+    remat: Optional[str] = None
+
+    def _remat_flags(self) -> Tuple[bool, bool]:
+        mode = self.remat if self.remat is not None else _REMAT
+        if mode not in ("none", "wide", "all"):
+            raise ValueError(f"remat must be none/wide/all, got {mode!r}")
+        return mode in ("wide", "all"), mode == "all"
 
     @nn.compact
     def __call__(self, x: jax.Array, film: Dict[str, Any], train: bool
                  ) -> jax.Array:
         if self.freq_fold > 1:
             return self._call_folded(x, film, train)
+        wide_r, all_r = self._remat_flags()
+        EncW = _maybe_remat(EncoderBlockRes1B, (3,), wide_r)
+        Enc = _maybe_remat(EncoderBlockRes1B, (3,), all_r)
+        DecW = _maybe_remat(DecoderBlockRes1B, (4,), wide_r)
+        Dec = _maybe_remat(DecoderBlockRes1B, (4,), all_r)
         x = conv2d(32, (1, 1), name="pre_conv", dtype=x.dtype)(x)
         q = self.quantize
-        x1p, x1 = EncoderBlockRes1B(32, 32, (2, 2), quantize=q,
-                                    name="encoder_block1")(
+        x1p, x1 = EncW(32, 32, (2, 2), quantize=q,
+                       name="encoder_block1")(
             x, film["encoder_block1"], train)
-        x2p, x2 = EncoderBlockRes1B(32, 64, (2, 2), quantize=q,
-                                    name="encoder_block2")(
+        x2p, x2 = EncW(32, 64, (2, 2), quantize=q,
+                       name="encoder_block2")(
             x1p, film["encoder_block2"], train)
-        x3p, x3 = EncoderBlockRes1B(64, 128, (2, 2), quantize=q,
-                                    name="encoder_block3")(
+        x3p, x3 = Enc(64, 128, (2, 2), quantize=q,
+                      name="encoder_block3")(
             x2p, film["encoder_block3"], train)
-        x4p, x4 = EncoderBlockRes1B(128, 256, (2, 2), quantize=q,
-                                    name="encoder_block4")(
+        x4p, x4 = Enc(128, 256, (2, 2), quantize=q,
+                      name="encoder_block4")(
             x3p, film["encoder_block4"], train)
-        x5p, x5 = EncoderBlockRes1B(256, 384, (2, 2), quantize=q,
-                                    name="encoder_block5")(
+        x5p, x5 = Enc(256, 384, (2, 2), quantize=q,
+                      name="encoder_block5")(
             x4p, film["encoder_block5"], train)
-        x6p, x6 = EncoderBlockRes1B(384, 384, (1, 2), quantize=q,
-                                    name="encoder_block6")(
+        x6p, x6 = Enc(384, 384, (1, 2), quantize=q,
+                      name="encoder_block6")(
             x5p, film["encoder_block6"], train)
-        xc, _ = EncoderBlockRes1B(384, 384, (1, 1), quantize=q,
-                                  name="conv_block7a")(
+        xc, _ = Enc(384, 384, (1, 1), quantize=q,
+                    name="conv_block7a")(
             x6p, film["conv_block7a"], train)
-        h = DecoderBlockRes1B(384, 384, (1, 2), quantize=q,
-                              name="decoder_block1")(
+        h = Dec(384, 384, (1, 2), quantize=q,
+                name="decoder_block1")(
             xc, x6, film["decoder_block1"], train)
-        h = DecoderBlockRes1B(384, 384, (2, 2), quantize=q,
-                              name="decoder_block2")(
+        h = Dec(384, 384, (2, 2), quantize=q,
+                name="decoder_block2")(
             h, x5, film["decoder_block2"], train)
-        h = DecoderBlockRes1B(384, 256, (2, 2), quantize=q,
-                              name="decoder_block3")(
+        h = Dec(384, 256, (2, 2), quantize=q,
+                name="decoder_block3")(
             h, x4, film["decoder_block3"], train)
-        h = DecoderBlockRes1B(256, 128, (2, 2), quantize=q,
-                              name="decoder_block4")(
+        h = Dec(256, 128, (2, 2), quantize=q,
+                name="decoder_block4")(
             h, x3, film["decoder_block4"], train)
-        h = DecoderBlockRes1B(128, 64, (2, 2), quantize=q,
-                              name="decoder_block5")(
+        h = DecW(128, 64, (2, 2), quantize=q,
+                 name="decoder_block5")(
             h, x2, film["decoder_block5"], train)
-        h = DecoderBlockRes1B(64, 32, (2, 2), quantize=q,
-                              name="decoder_block6")(
+        h = DecW(64, 32, (2, 2), quantize=q,
+                 name="decoder_block6")(
             h, x1, film["decoder_block6"], train)
         return conv2d(self.output_channels * self.K, (1, 1),
                       name="after_conv", dtype=h.dtype)(h)
@@ -130,66 +159,73 @@ class ResUNet30Base(nn.Module):
         s = self.freq_fold
         layout = self.l1_layout or F._L1_LAYOUT
         mixed = layout == "mixed" and s == 4
+        wide_r, all_r = self._remat_flags()
+        FEncW = _maybe_remat(FoldedEncoderBlockRes1B, (3,), wide_r)
+        MEncW = _maybe_remat(MixedEncoderBlockRes1B, (3,), wide_r)
+        Enc = _maybe_remat(EncoderBlockRes1B, (3,), all_r)
+        Dec = _maybe_remat(DecoderBlockRes1B, (4,), all_r)
+        FDecW = _maybe_remat(FoldedDecoderBlockRes1B, (4,), wide_r)
+        MDecW = _maybe_remat(MixedDecoderBlockRes1B, (4,), wide_r)
         x = mixed_fold_input(x) if mixed else fold_freq(x, s)
         w_pre, b_pre = ConvParams((1, 1, self.input_channels, 32),
                                   use_bias=True, name="pre_conv")()
         x = folded_conv(x, w_pre, s, bias=b_pre)
         if mixed:
-            x1p_f, x1_f = MixedEncoderBlockRes1B(
+            x1p_f, x1_f = MEncW(
                 32, 32, name="encoder_block1")(
                 x, film["encoder_block1"], train)
         else:
-            x1p_f, x1_f = FoldedEncoderBlockRes1B(
+            x1p_f, x1_f = FEncW(
                 32, 32, s, use_sparse_kernel=self.sparse_conv,
                 quantize=self.quantize,
                 name="encoder_block1")(
                 x, film["encoder_block1"], train)
         # level 2 runs at fold s//2 (the pool's natural output layout)
-        x2p_f, x2_f = FoldedEncoderBlockRes1B(
+        x2p_f, x2_f = FEncW(
             32, 64, s // 2, use_sparse_kernel=self.sparse_conv,
             quantize=self.quantize,
             name="encoder_block2")(
             x1p_f, film["encoder_block2"], train)
         x2p = x2p_f  # fold s//4 == 1 for s=4: already the plain layout
         q = self.quantize
-        x3p, x3 = EncoderBlockRes1B(64, 128, (2, 2), quantize=q,
-                                    name="encoder_block3")(
+        x3p, x3 = Enc(64, 128, (2, 2), quantize=q,
+                      name="encoder_block3")(
             x2p, film["encoder_block3"], train)
-        x4p, x4 = EncoderBlockRes1B(128, 256, (2, 2), quantize=q,
-                                    name="encoder_block4")(
+        x4p, x4 = Enc(128, 256, (2, 2), quantize=q,
+                      name="encoder_block4")(
             x3p, film["encoder_block4"], train)
-        x5p, x5 = EncoderBlockRes1B(256, 384, (2, 2), quantize=q,
-                                    name="encoder_block5")(
+        x5p, x5 = Enc(256, 384, (2, 2), quantize=q,
+                      name="encoder_block5")(
             x4p, film["encoder_block5"], train)
-        x6p, x6 = EncoderBlockRes1B(384, 384, (1, 2), quantize=q,
-                                    name="encoder_block6")(
+        x6p, x6 = Enc(384, 384, (1, 2), quantize=q,
+                      name="encoder_block6")(
             x5p, film["encoder_block6"], train)
-        xc, _ = EncoderBlockRes1B(384, 384, (1, 1), quantize=q,
-                                  name="conv_block7a")(
+        xc, _ = Enc(384, 384, (1, 1), quantize=q,
+                    name="conv_block7a")(
             x6p, film["conv_block7a"], train)
-        h = DecoderBlockRes1B(384, 384, (1, 2), quantize=q,
-                              name="decoder_block1")(
+        h = Dec(384, 384, (1, 2), quantize=q,
+                name="decoder_block1")(
             xc, x6, film["decoder_block1"], train)
-        h = DecoderBlockRes1B(384, 384, (2, 2), quantize=q,
-                              name="decoder_block2")(
+        h = Dec(384, 384, (2, 2), quantize=q,
+                name="decoder_block2")(
             h, x5, film["decoder_block2"], train)
-        h = DecoderBlockRes1B(384, 256, (2, 2), quantize=q,
-                              name="decoder_block3")(
+        h = Dec(384, 256, (2, 2), quantize=q,
+                name="decoder_block3")(
             h, x4, film["decoder_block3"], train)
-        h = DecoderBlockRes1B(256, 128, (2, 2), quantize=q,
-                              name="decoder_block4")(
+        h = Dec(256, 128, (2, 2), quantize=q,
+                name="decoder_block4")(
             h, x3, film["decoder_block4"], train)
-        h = FoldedDecoderBlockRes1B(
+        h = FDecW(
             128, 64, 64, fold_in=1, use_sparse_kernel=self.sparse_conv,
             quantize=self.quantize,
             name="decoder_block5")(
             h, x2_f, film["decoder_block5"], train)
         if mixed:
-            h = MixedDecoderBlockRes1B(
+            h = MDecW(
                 64, 32, 32, name="decoder_block6")(
                 h, x1_f, film["decoder_block6"], train)
         else:
-            h = FoldedDecoderBlockRes1B(
+            h = FDecW(
                 64, 32, 32, fold_in=s // 2, input_is_folded=True,
                 use_sparse_kernel=self.sparse_conv,
                 quantize=self.quantize,
@@ -355,6 +391,8 @@ class ResUNet30(nn.Module):
     # (32x physical HBM blow-up) and the big-tile variant overflows scoped
     # VMEM. Kept as opt-in infrastructure (tests force True, interpret).
     fuse_head: Any = None
+    # training remat: 'none'/'wide'/'all' (None = env LASS_TPU_REMAT)
+    remat: Optional[str] = None
 
     @property
     def stft_cfg(self) -> STFTConfig:
@@ -398,7 +436,8 @@ class ResUNet30(nn.Module):
                             l1_layout=self.l1_layout,
                             sparse_conv=self.sparse_conv,
                             quantize=self.quantize,
-                            fused_head=fused, name="base")(x, film, train)
+                            fused_head=fused, remat=self.remat,
+                            name="base")(x, film, train)
 
         if fused:
             h, w_after, b_after = out

@@ -50,8 +50,22 @@ class CheckpointManager:
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
-        return self._mgr.restore(
-            step, args=ocp.args.StandardRestore(abstract_state))
+        try:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract_state))
+        except (ValueError, KeyError) as exc:
+            # The optimizer-moment layout is an env-dependent choice
+            # (LASS_TPU_FLAT_OPT: flat vector vs per-param tree,
+            # train/optim.py:build_optimizer). A checkpoint saved under
+            # the other layout fails orbax's structure match with an
+            # opaque tree error — point at the knob explicitly.
+            raise type(exc)(
+                f"{exc}\n[lass_tpu] checkpoint restore failed on a tree-"
+                f"structure mismatch. If this checkpoint was written with "
+                f"the other optimizer-moment layout, set LASS_TPU_FLAT_OPT="
+                f"{'0' if os.environ.get('LASS_TPU_FLAT_OPT', '1') == '1' else '1'} "
+                f"(or pass flatten= to build_optimizer) and retry."
+            ) from exc
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

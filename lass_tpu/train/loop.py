@@ -148,6 +148,8 @@ class Trainer:
             logging.info("resumed from %s", resume_checkpoint_path)
 
         # place state/batches on the mesh
+        from lass_tpu.train.optim import opt_shardings
+
         rep = replicated(self.mesh)
         p_shard = param_shardings(state.params, self.mesh)
         self.state = TrainState(
@@ -156,7 +158,8 @@ class Trainer:
             batch_stats=jax.device_put(state.batch_stats, rep),
             opt_state=jax.device_put(
                 state.opt_state,
-                _opt_shardings(state.opt_state, p_shard, rep)),
+                opt_shardings(state.opt_state, p_shard, rep,
+                              model_parallel=model_parallel)),
         )
         self.batch_shard = batch_sharding(self.mesh)
         self.rep = rep
@@ -273,16 +276,3 @@ def _step_from_path(path: str) -> Optional[int]:
     """Accept either a checkpoint dir (latest) or .../<step>/ path."""
     name = pathlib.Path(path).name
     return int(name) if name.isdigit() else None
-
-
-def _opt_shardings(opt_state, p_shard, rep):
-    from lass_tpu.train.optim import TorchAmsgradState
-
-    ams, rest = opt_state
-    # optax.flatten (build_optimizer flatten=True) stores the moments as
-    # ONE flat vector — replicate it (under pure DP that equals p_shard;
-    # under TP the flat buffer can't follow per-param shardings).
-    moment = rep if isinstance(ams.mu, jax.Array) else p_shard
-    return (TorchAmsgradState(count=rep, mu=moment, nu=moment,
-                              nu_max=moment),
-            jax.tree_util.tree_map(lambda _: rep, rest))

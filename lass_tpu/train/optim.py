@@ -56,6 +56,33 @@ def scale_by_torch_amsgrad(b1: float = 0.9, b2: float = 0.999,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def opt_shardings(opt_state, p_shard, rep, model_parallel: int = 1):
+    """Shardings for the (scale_by_torch_amsgrad, lr-scale) opt state.
+
+    Flat moments (optax.flatten, build_optimizer flatten=True) are ONE
+    concatenated vector — replicate it (under pure DP that equals the
+    per-param shardings; under TP the flat buffer can't follow them, so
+    optimizer memory stops being sharded — warned below). Tree-form
+    moments follow the per-param shardings. Shared by train/loop.py and
+    __graft_entry__.py so the layout logic cannot drift.
+    """
+    ams, rest = opt_state
+    flat = isinstance(ams.mu, jax.Array)
+    if flat and model_parallel > 1:
+        import logging
+
+        logging.getLogger("lass_tpu.optim").warning(
+            "flat optimizer moments are fully REPLICATED under tensor "
+            "parallelism (model_parallel=%d) — optimizer memory is not "
+            "sharded. Set LASS_TPU_FLAT_OPT=0 (or build_optimizer("
+            "flatten=False)) for per-param moment sharding at larger TP.",
+            model_parallel)
+    moment = rep if flat else p_shard
+    return (TorchAmsgradState(count=rep, mu=moment, nu=moment,
+                              nu_max=moment),
+            jax.tree_util.tree_map(lambda _: rep, rest))
+
+
 def linear_warm_up(warm_up_steps: int, reduce_lr_steps: int) -> Callable:
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
@@ -133,6 +160,6 @@ def build_optimizer(
         # copies/step, measured via scripts/xplane_groups.py); the flat
         # form is a handful of big fused ops. Bitwise-identical math.
         # Moment buffers become flat vectors — shard them replicated under
-        # TP (train/loop.py:_opt_shardings handles both layouts).
+        # TP (opt_shardings above handles both layouts).
         tx = optax.flatten(tx)
     return tx

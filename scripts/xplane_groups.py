@@ -33,7 +33,7 @@ def categorize(name: str) -> str:
         if "conv" in body.split("=")[0] or "convolution" in body:
             return "conv fusion"
         return "fusion (other)"
-    if "dot" in body.split("=")[1][:60] if "=" in body else False:
+    if "=" in body and "dot" in body.split("=")[1][:60]:
         return "dot"
     return "op:" + re.sub(r"[%.].*", "", body)[:30]
 
