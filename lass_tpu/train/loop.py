@@ -187,6 +187,13 @@ class Trainer:
 
         log_every = 50  # reference train.py:276
         t_last = time.perf_counter()
+        # host-side step mirror: fetching state.step from the device every
+        # iteration costs one tunnel round-trip (~29 ms) PER STEP and
+        # serializes the otherwise fully async dispatch pipeline. The jitted
+        # step increments state.step by exactly 1, so a host counter seeded
+        # once (resume-aware) stays in lockstep.
+        step = int(jax.device_get(self.state.step))
+        multiproc = jax.process_count() > 1
         with self.mesh:
             for batch in self.datamodule.train_dataloader():
                 at = batch["audio_text"]
@@ -194,13 +201,17 @@ class Trainer:
 
                 if self.use_text_ratio >= 1.0:
                     # text-only (baseline config): mixing fuses into the
-                    # train step, nothing round-trips to the host
+                    # train step, nothing round-trips to the host. The
+                    # condition stays a DEVICE array in single-process runs
+                    # (np.asarray would block on the encoder's output);
+                    # multi-host assembly needs the local numpy shard.
                     condition = self.query_encoder.get_query_embed(
                         "hybird", text=at["text"], audio=None,
                         use_text_ratio=self.use_text_ratio)
                     data = put_global_batch(
                         {"waveform": at["waveform"],
-                         "condition": np.asarray(condition)},
+                         "condition": np.asarray(condition) if multiproc
+                         else condition},
                         self.batch_shard)
                     self.state, metrics = self._step_fn(self.state, data,
                                                         rng)
@@ -220,11 +231,12 @@ class Trainer:
                         "mixture": mixtures,
                         "segment": segments,
                         "condition": put_global_batch(
-                            {"condition": np.asarray(condition)},
+                            {"condition": np.asarray(condition) if multiproc
+                             else condition},
                             self.batch_shard)["condition"],
                     }
                     self.state, metrics = self._premixed_fn(self.state, data)
-                step = int(self.state.step)
+                step += 1
                 if step % log_every == 0 or step == 1:
                     loss = float(metrics["train_loss"])
                     dt = time.perf_counter() - t_last
