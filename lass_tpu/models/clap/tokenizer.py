@@ -141,6 +141,164 @@ class RobertaBPETokenizer:
         return {"input_ids": ids, "attention_mask": mask}
 
 
+class BartBPETokenizer(RobertaBPETokenizer):
+    """BART text-branch tokenizer (reference open_clip/bert.py:29-31,
+    training/data.py tmodel='bart'). facebook/bart-base ships the SAME
+    GPT-2 byte-BPE algorithm and special-token ids (<s>=0, <pad>=1,
+    </s>=2) as roberta-base — only the vocab assets differ. Supply them
+    via ``BartBPETokenizer(vocab_path, merges_path)`` or
+    ``LASS_TPU_BART_VOCAB_DIR`` (vocab.json + merges.txt)."""
+
+    def __init__(self, vocab_path: Optional[str] = None,
+                 merges_path: Optional[str] = None):
+        if vocab_path is None:
+            root = os.environ.get("LASS_TPU_BART_VOCAB_DIR")
+            if root:
+                vocab_path = os.path.join(root, "vocab.json")
+                merges_path = os.path.join(root, "merges.txt")
+        if vocab_path is None or merges_path is None:
+            raise FileNotFoundError(
+                "BART vocab assets required: pass vocab_path/merges_path "
+                "or set LASS_TPU_BART_VOCAB_DIR")
+        super().__init__(vocab_path, merges_path)
+
+
+def _is_punctuation(ch: str) -> bool:
+    cp = ord(ch)
+    if (33 <= cp <= 47 or 58 <= cp <= 64 or 91 <= cp <= 96
+            or 123 <= cp <= 126):
+        return True
+    import unicodedata
+
+    return unicodedata.category(ch).startswith("P")
+
+
+def _is_cjk(cp: int) -> bool:
+    return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+            or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+            or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+            or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F)
+
+
+class WordPieceTokenizer:
+    """BERT text-branch tokenizer (WordPiece, bert-base-uncased semantics)
+    — reference open_clip/bert.py:1-3 / training/data.py tmodel='bert'.
+
+    Implements HF BertTokenizer's basic+wordpiece pipeline: clean text,
+    CJK spacing, lowercase + NFD accent strip, punctuation split, then
+    greedy longest-match-first WordPiece with '##' continuations. Vocab
+    asset (vocab.txt, one token per line) is user-supplied via
+    ``WordPieceTokenizer(vocab_path)`` or ``LASS_TPU_BERT_VOCAB``
+    (zero-egress: nothing is downloaded). Special-token ids are read from
+    the vocab ([PAD]/[UNK]/[CLS]/[SEP]). Output adds ``token_type_ids``
+    (all zeros — single-segment captions), matching the HF call
+    ``tokenizer(text, padding='max_length', truncation=True,
+    max_length=N)``; parity pinned in tests/test_tokenizer.py."""
+
+    def __init__(self, vocab_path: Optional[str] = None,
+                 do_lower_case: bool = True,
+                 max_word_chars: int = 100):
+        vocab_path = vocab_path or os.environ.get("LASS_TPU_BERT_VOCAB")
+        if vocab_path is None:
+            raise FileNotFoundError(
+                "BERT WordPiece vocab required: pass vocab_path or set "
+                "LASS_TPU_BERT_VOCAB (path to vocab.txt)")
+        with open(vocab_path, encoding="utf-8") as f:
+            self.vocab: Dict[str, int] = {
+                line.rstrip("\n"): i for i, line in enumerate(f)}
+        self.pad_id = self.vocab["[PAD]"]
+        self.unk_id = self.vocab["[UNK]"]
+        self.cls_id = self.vocab["[CLS]"]
+        self.sep_id = self.vocab["[SEP]"]
+        self.do_lower_case = do_lower_case
+        self.max_word_chars = max_word_chars
+
+    def _basic(self, text: str) -> List[str]:
+        import unicodedata
+
+        out = []
+        for ch in text:
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD:
+                continue
+            cat = unicodedata.category(ch)
+            if cat.startswith("C") and ch not in "\t\n\r":
+                continue
+            if _is_cjk(cp):
+                out.append(f" {ch} ")
+            elif ch in "\t\n\r" or cat == "Zs":
+                out.append(" ")
+            else:
+                out.append(ch)
+        tokens: List[str] = []
+        for tok in "".join(out).split():
+            if self.do_lower_case:
+                tok = tok.lower()
+                tok = "".join(c for c in unicodedata.normalize("NFD", tok)
+                              if unicodedata.category(c) != "Mn")
+            word: List[str] = []
+            for ch in tok:
+                if _is_punctuation(ch):
+                    tokens.append(ch)
+                    if word:
+                        tokens.insert(-1, "".join(word))
+                        word = []
+                else:
+                    word.append(ch)
+            if word:
+                tokens.append("".join(word))
+        return tokens
+
+    def _wordpiece(self, token: str) -> List[int]:
+        if len(token) > self.max_word_chars:
+            return [self.unk_id]
+        pieces: List[int] = []
+        start = 0
+        while start < len(token):
+            end = len(token)
+            cur = None
+            while start < end:
+                sub = token[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = self.vocab[sub]
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk_id]
+            pieces.append(cur)
+            start = end
+        return pieces
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        for tok in self._basic(text):
+            ids.extend(self._wordpiece(tok))
+        return ids
+
+    def __call__(self, texts: Sequence[str], max_length: int = 512,
+                 pad_to: Optional[int] = None) -> Dict[str, np.ndarray]:
+        encoded = []
+        for t in texts:
+            body = self.encode(t)[: max_length - 2]
+            encoded.append([self.cls_id] + body + [self.sep_id])
+        if pad_to is None:
+            target = max_length
+        else:
+            longest = max(len(e) for e in encoded)
+            target = min(max_length,
+                         max(pad_to, -(-longest // pad_to) * pad_to))
+        ids = np.full((len(texts), target), self.pad_id, np.int32)
+        mask = np.zeros((len(texts), target), np.int32)
+        for i, e in enumerate(encoded):
+            e = e[:target]
+            ids[i, :len(e)] = e
+            mask[i, :len(e)] = 1
+        return {"input_ids": ids, "attention_mask": mask,
+                "token_type_ids": np.zeros_like(ids)}
+
+
 class WhitespaceFallbackTokenizer:
     """Deterministic hash tokenizer for tests/smoke runs without vocab
     assets. NOT the roberta vocab — embeddings from it are only meaningful

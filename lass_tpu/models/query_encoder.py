@@ -44,8 +44,30 @@ class CLAPQueryEncoder:
         pad_to: Optional[int] = 64,
         audio_embed_fn: Optional[Callable] = None,
         rng_seed: int = 0,
+        tmodel: str = "roberta",
+        text_cfg: Optional[Any] = None,
     ):
-        self.text_model = CLAPTextEncoder(roberta_cfg, joint_embed_dim)
+        """tmodel selects the text branch + its host tokenizer, mirroring
+        the reference's --tmodel / per-branch tokenizer selection
+        (CLAP training/data.py tokenizer choice, open_clip/bert.py:1-31):
+        'roberta' (default, byte-BPE), 'bert' (WordPiece, vocab via
+        LASS_TPU_BERT_VOCAB), 'bart' (byte-BPE, vocab via
+        LASS_TPU_BART_VOCAB_DIR). text_cfg overrides the branch config
+        (BertConfig/BartConfig) for non-roberta branches."""
+        self.tmodel = tmodel
+        if tmodel == "roberta":
+            self.text_model = CLAPTextEncoder(roberta_cfg, joint_embed_dim)
+        elif tmodel == "bert":
+            from lass_tpu.models.clap.model import CLAPBertTextEncoder
+
+            self.text_model = CLAPBertTextEncoder(text_cfg, joint_embed_dim)
+        elif tmodel == "bart":
+            from lass_tpu.models.clap.model import CLAPBartTextEncoder
+
+            self.text_model = CLAPBartTextEncoder(text_cfg, joint_embed_dim)
+        else:
+            raise ValueError(f"tmodel must be roberta/bert/bart, "
+                             f"got {tmodel!r}")
         self.has_pretrained_text = text_params is not None
         if text_params is None:
             dummy = jnp.zeros((1, 8), jnp.int32)
@@ -53,23 +75,13 @@ class CLAPQueryEncoder:
                 jax.random.PRNGKey(0), dummy, jnp.ones_like(dummy))["params"]
             logger.warning(
                 "CLAPQueryEncoder built WITHOUT pretrained text weights — "
-                "conditioning embeddings are random-init RoBERTa. Training "
+                "conditioning embeddings are random-init %s. Training "
                 "or evaluating against these is meaningless; load a "
                 "converted CLAP pack (CLAPQueryEncoder.from_npz / "
-                "scripts/convert_checkpoint.py --kind clap).")
+                "scripts/convert_checkpoint.py --kind clap).", tmodel)
         self.text_params = text_params
         if tokenizer is None:
-            try:
-                tokenizer = RobertaBPETokenizer()
-            except FileNotFoundError:
-                tokenizer = WhitespaceFallbackTokenizer(
-                    roberta_cfg.vocab_size)
-                logger.warning(
-                    "RoBERTa BPE vocab assets not found — falling back to "
-                    "the hash-bucket whitespace tokenizer. Token ids will "
-                    "NOT match the reference tokenizer; set "
-                    "LASS_TPU_ROBERTA_VOCAB_DIR or pass tokenizer= "
-                    "explicitly.")
+            tokenizer = self._default_tokenizer(roberta_cfg)
         self.tokenizer = tokenizer
         self.using_fallback_tokenizer = isinstance(
             tokenizer, WhitespaceFallbackTokenizer)
@@ -80,6 +92,25 @@ class CLAPQueryEncoder:
         self._jit_text = jax.jit(
             lambda params, ids, mask: self.text_model.apply(
                 {"params": params}, ids, mask))
+
+    def _default_tokenizer(self, roberta_cfg) -> Callable:
+        from lass_tpu.models.clap.tokenizer import (
+            BartBPETokenizer, WordPieceTokenizer)
+
+        cls = {"roberta": RobertaBPETokenizer,
+               "bert": WordPieceTokenizer,
+               "bart": BartBPETokenizer}[self.tmodel]
+        try:
+            return cls()
+        except FileNotFoundError as exc:
+            logger.warning(
+                "%s vocab assets not found (%s) — falling back to the "
+                "hash-bucket whitespace tokenizer. Token ids will NOT "
+                "match the reference tokenizer; supply the vocab or pass "
+                "tokenizer= explicitly.", self.tmodel, exc)
+            # bert-base vocab is 30522; keep fallback ids in range
+            size = 30522 if self.tmodel == "bert" else roberta_cfg.vocab_size
+            return WhitespaceFallbackTokenizer(size)
 
     @classmethod
     def from_npz(cls, path: str, htsat_cfg: Optional[Any] = None,

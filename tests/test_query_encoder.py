@@ -47,6 +47,45 @@ def test_audio_path_raises_without_htsat(encoder):
         encoder.get_query_embed("audio", audio=jnp.zeros((1, 32000)))
 
 
+@pytest.mark.parametrize("tmodel", ["bert", "bart"])
+def test_tmodel_branches_end_to_end(tmodel, tmp_path):
+    """tmodel='bert'/'bart' select the matching text branch + host
+    tokenizer (reference --tmodel, open_clip/bert.py) — captions in,
+    normalized (B, 512) out."""
+    from lass_tpu.models.clap.bert import BartConfig, BertConfig
+    from lass_tpu.models.clap.tokenizer import (
+        BartBPETokenizer, WordPieceTokenizer, bytes_to_unicode)
+
+    if tmodel == "bert":
+        vocab = tmp_path / "vocab.txt"
+        vocab.write_text("\n".join(
+            ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "dog", "rain"]) + "\n")
+        tok = WordPieceTokenizer(str(vocab))
+        cfg = BertConfig(vocab_size=16, hidden_size=32, num_hidden_layers=2,
+                         num_attention_heads=4, intermediate_size=64,
+                         max_position_embeddings=80)
+    else:
+        import json as _json
+
+        b2u = bytes_to_unicode()
+        tokens = ["<s>", "<pad>", "</s>", "<unk>"]
+        tokens += [b2u[b] for b in range(256)]
+        (tmp_path / "vocab.json").write_text(
+            _json.dumps({t: i for i, t in enumerate(tokens)}))
+        (tmp_path / "merges.txt").write_text("#version: 0.2\n")
+        tok = BartBPETokenizer(str(tmp_path / "vocab.json"),
+                               str(tmp_path / "merges.txt"))
+        cfg = BartConfig(vocab_size=300, hidden_size=32,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         intermediate_size=64, max_position_embeddings=80)
+    enc = CLAPQueryEncoder(tmodel=tmodel, text_cfg=cfg, tokenizer=tok,
+                           pad_to=16)
+    out = enc.get_query_embed("text", text=["a dog", "rain"])
+    assert out.shape == (2, 512)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1),
+                               np.ones(2), atol=1e-5)
+
+
 def test_from_npz_text_pack(tmp_path):
     """CLAPQueryEncoder.from_npz loads a converted text-branch pack and
     reproduces the source model's embeddings."""

@@ -55,6 +55,75 @@ def test_truncation_and_padding(vocab_assets):
     assert out["input_ids"].shape[1] == 8
 
 
+@pytest.fixture(scope="module")
+def bert_vocab(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("bert_vocab")
+    tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+              "hello", "world", "don", "'", "t", "stop", "he",
+              "##llo", "##ll", "##o", "!", ",", "a", "dog", "bark",
+              "##ing", "h", "##e"]
+    path = tmp / "vocab.txt"
+    path.write_text("\n".join(tokens) + "\n")
+    return str(path)
+
+
+def test_wordpiece_matches_hf(bert_vocab):
+    """WordPieceTokenizer == HF BertTokenizer from the same vocab.txt
+    (reference open_clip/bert.py:1-3 tokenizes the bert branch with
+    BertTokenizer('bert-base-uncased'))."""
+    from transformers import BertTokenizer
+
+    from lass_tpu.models.clap.tokenizer import WordPieceTokenizer
+
+    hf = BertTokenizer(vocab_file=bert_vocab)
+    mine = WordPieceTokenizer(bert_vocab)
+    for text in ["hello world", "HeLLo, WORLD!", "don't stop",
+                 "héllo world", "a dog barking", "zzz unknown",
+                 "  spaces \t and\nnewlines ", "hello " * 30]:
+        ref = hf(text, padding="max_length", truncation=True, max_length=16)
+        out = mine([text], max_length=16)
+        assert out["input_ids"][0].tolist() == ref["input_ids"], text
+        assert out["attention_mask"][0].tolist() == \
+            ref["attention_mask"], text
+        assert out["token_type_ids"][0].tolist() == \
+            ref["token_type_ids"], text
+
+
+def test_bart_tokenizer_matches_hf(vocab_assets):
+    """BartBPETokenizer == HF BartTokenizer from the same assets — BART
+    ships roberta's byte-BPE with identical specials (reference
+    open_clip/bert.py:29-31)."""
+    from transformers import BartTokenizer
+
+    from lass_tpu.models.clap.tokenizer import BartBPETokenizer
+
+    vpath, mpath = vocab_assets
+    hf = BartTokenizer(vocab_file=vpath, merges_file=mpath)
+    mine = BartBPETokenizer(vpath, mpath)
+    for text in ["hello world", "hello hello world!", "don't stop"]:
+        ref = hf(text, padding="max_length", truncation=True, max_length=24)
+        out = mine([text], max_length=24)
+        assert out["input_ids"][0].tolist() == ref["input_ids"], text
+        assert out["attention_mask"][0].tolist() == \
+            ref["attention_mask"], text
+
+
+def test_tokenizer_env_construction(bert_vocab, vocab_assets, monkeypatch):
+    """Env-var construction paths (LASS_TPU_BERT_VOCAB /
+    LASS_TPU_BART_VOCAB_DIR) used by CLAPQueryEncoder(tmodel=...)."""
+    from lass_tpu.models.clap.tokenizer import (
+        BartBPETokenizer, WordPieceTokenizer)
+
+    monkeypatch.setenv("LASS_TPU_BERT_VOCAB", bert_vocab)
+    assert WordPieceTokenizer()(["hello"])["input_ids"].shape[0] == 1
+    vdir = os.path.dirname(vocab_assets[0])
+    monkeypatch.setenv("LASS_TPU_BART_VOCAB_DIR", vdir)
+    assert BartBPETokenizer()(["hello"])["input_ids"].shape[0] == 1
+    monkeypatch.delenv("LASS_TPU_BERT_VOCAB")
+    with pytest.raises(FileNotFoundError):
+        WordPieceTokenizer()
+
+
 def test_fallback_tokenizer_deterministic():
     tok = WhitespaceFallbackTokenizer()
     a = tok(["a dog barking", "rain"])
