@@ -72,6 +72,35 @@ def read_wav_bytes(payload: bytes, mono: bool = False
     return data, sr
 
 
+def read_audio(path: str, mono: bool = False) -> Tuple[np.ndarray, int]:
+    """Format-sniffing loader: WAV or FLAC by magic bytes (the analog of
+    the reference's torchaudio.load, audiotext_dataset.py:61 — which
+    accepts either container transparently). Same contract as read_wav."""
+    with open(path, "rb") as f:
+        payload = f.read()
+    try:
+        return read_audio_bytes(payload, mono)
+    except ValueError as exc:
+        raise ValueError(f"{path}: {exc}") from exc
+
+
+def read_audio_bytes(payload: bytes, mono: bool = False
+                     ) -> Tuple[np.ndarray, int]:
+    """In-memory format-sniffing decode (tar-shard pipeline: the
+    reference's wds.torch_audio decodes FLAC members of LAION-audio
+    shards, models/CLAP/training/data.py)."""
+    if payload[:4] == b"fLaC":
+        if _NATIVE is not None and hasattr(_NATIVE, "decode_flac"):
+            return _NATIVE.decode_flac(payload, mono)
+        from lass_tpu.audio.flac import decode_flac_bytes
+
+        return decode_flac_bytes(payload, mono)
+    if payload[:4] == b"RIFF":
+        return read_wav_bytes(payload, mono)
+    raise ValueError("unrecognized audio container (expected RIFF/WAVE "
+                     "or fLaC magic)")
+
+
 def _read_wav_py(path: str) -> Tuple[np.ndarray, int]:
     """Pure-python reference decoder."""
     with open(path, "rb") as f:

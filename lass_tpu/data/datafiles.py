@@ -15,7 +15,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from lass_tpu.audio.io import read_wav
+from lass_tpu.audio.io import read_audio
 from lass_tpu.audio.resample import resample_np
 
 
@@ -53,7 +53,7 @@ class AudioTextDataset:
         entry = self.items[index]
         path = entry["wav"]
         try:
-            audio, rate = read_wav(path)
+            audio, rate = read_audio(path)
             if audio.shape[1] < rate * 0.5:
                 raise ValueError(f"{path} is shorter than 0.5 s")
         except Exception as exc:  # noqa: BLE001 — data-level fault tolerance

@@ -281,14 +281,14 @@ class TarShardDataset:
     def preprocess(self, sample: Dict[str, bytes],
                    rng: np.random.Generator) -> Optional[Dict]:
         """training/data.py preprocess (:564-673) on one raw sample."""
-        from lass_tpu.audio.io import read_wav_bytes
+        from lass_tpu.audio.io import read_audio_bytes
         from lass_tpu.models.clap.audio_features import (
             prepare_audio, prepare_audio_fusion)
 
         if self.audio_ext not in sample or self.text_ext not in sample:
             return None
         try:
-            wav, sr = read_wav_bytes(sample[self.audio_ext], mono=True)
+            wav, sr = read_audio_bytes(sample[self.audio_ext], mono=True)
         except ValueError as exn:
             log_and_continue(exn)
             return None

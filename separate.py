@@ -32,7 +32,7 @@ def main():
 
     import numpy as np
 
-    from lass_tpu.audio.io import read_wav, write_wav
+    from lass_tpu.audio.io import read_audio, write_wav
     from lass_tpu.audio.resample import resample_np
     from lass_tpu.config import load_config
     from lass_tpu.convert.checkpoint_io import load_ss_model
@@ -43,7 +43,7 @@ def main():
     model = load_ss_model(cfg, args.checkpoint_path,
                           quantize=args.quantize)
 
-    audio, sr = read_wav(args.input, mono=True)
+    audio, sr = read_audio(args.input, mono=True)
     wave = audio[0]
     if sr != cfg.data.sampling_rate:
         wave = resample_np(wave, sr, cfg.data.sampling_rate)

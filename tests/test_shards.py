@@ -119,6 +119,43 @@ def test_epoch_batches_and_preprocess(shard_dir):
     assert b["audio_orig_sr"].tolist() == [16000] * 4
 
 
+def test_flac_shard_roundtrip(tmp_path):
+    """LAION-audio-style FLAC tars: the pipeline decodes .flac members
+    via the format-sniffing loader (reference: wds.torch_audio in
+    models/CLAP/training/data.py decodes FLAC shard members). FLAC is
+    lossless, so the batch waveform is exactly the encoder's int16
+    samples through the pipeline's standard int16 roundtrip."""
+    from lass_tpu.audio.flac import encode_flac
+    from lass_tpu.data.shards import _int16_roundtrip
+
+    rng = np.random.RandomState(11)
+    sr, n = 16000, 16000
+    waves = {f"k{i}": (rng.randn(1, n) * 0.1).astype(np.float32)
+             for i in range(4)}
+    with tarfile.open(tmp_path / "fl-000000.tar", "w") as tf:
+        for k, w in waves.items():
+            blob = encode_flac(w, sr)
+            info = tarfile.TarInfo(f"{k}.flac")
+            info.size = len(blob)
+            tf.addfile(info, io.BytesIO(blob))
+            payload = json.dumps({"text": [f"caption {k}"]}).encode()
+            info = tarfile.TarInfo(f"{k}.json")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    ds = TarShardDataset(shards=[str(tmp_path / "fl-000000.tar")],
+                         batch_size=4, max_len=n, train=False,
+                         num_workers=1, audio_ext="flac")
+    batches = list(ds)
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["waveform"].shape == (4, n)
+    for name, wav in zip(b["audio_name"], b["waveform"]):
+        key = name.split(".")[0]
+        ints = np.round(waves[key][0] * 32767.0)  # encoder quantization
+        want = _int16_roundtrip((ints / 32768.0).astype(np.float32))
+        np.testing.assert_array_equal(wav, want)
+
+
 def test_host_split_disjoint_and_covering(shard_dir):
     shards = [str(shard_dir / "train-{000000..000001}.tar")]
     seen = []
