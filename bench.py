@@ -131,11 +131,22 @@ def _measure_forward(batch: int, iters: int, quant: bool,
         # one-time post-training calibration pass (float math, records
         # per-lane amax into the 'quant' collection — ops/quant.py)
         _, quant_vars = jax.jit(
-            lambda m, c: model.apply(
-                variables, {"mixture": m, "condition": c},
+            lambda v, m, c: model.apply(
+                v, {"mixture": m, "condition": c},
                 train=False, mutable=["quant"]),
-        )(mixture, condition)
+        )(variables, mixture, condition)
         variables = {**variables, **jax.device_get(quant_vars)}
+        if os.environ.get("BENCH_QPACK", "1") == "1":
+            # offline weight pre-quantization (ops/quant.py:qconv):
+            # the timed forward consumes int8 kernels directly — no
+            # per-forward quantize and no float folded kernels resident
+            # (the double residency OOMed batch 32 on the in-graph path)
+            _, qpack = jax.jit(
+                lambda v, m, c: model.apply(
+                    v, {"mixture": m, "condition": c},
+                    train=False, mutable=["qpack"]),
+            )(variables, mixture, condition)
+            variables = {**variables, **jax.device_get(qpack)}
 
     @jax.jit
     def forward_sum(mixture, condition):

@@ -19,13 +19,13 @@ from typing import Callable, Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from lass_tpu.audio.io import read_wav
+from lass_tpu.audio.io import read_audio
 from lass_tpu.audio.resample import resample_np
 from lass_tpu.evaluation.metrics import calculate_sdr, calculate_sisdr
 
 
 def load_mono(path: str, sampling_rate: int) -> np.ndarray:
-    audio, rate = read_wav(path)
+    audio, rate = read_audio(path)
     mono = audio.mean(axis=0) if audio.shape[0] > 1 else audio[0]
     if rate != sampling_rate:
         mono = resample_np(mono, rate, sampling_rate)
@@ -68,29 +68,42 @@ class DCASEEvaluator:
         # instead of one per batch — recompiles are 2-5 min on axon.
         self._fixed_len = int(round(sampling_rate * pad_seconds))
 
-    def calibrate(self, pl_model) -> None:
-        """One-time int8 PTQ calibration on the FIRST eval batch (model
-        loaded with quantize=True — see SeparationInference.calibrate)."""
-        rows = self.eval_list[:self.batch_size]
-        mixtures, captions = [], []
-        for source_name, noise_name, snr, caption in rows:
-            src = load_mono(os.path.join(self.audio_dir,
-                                         f"{source_name}.wav"),
-                            self.sampling_rate)
-            noi = load_mono(os.path.join(self.audio_dir,
-                                         f"{noise_name}.wav"),
-                            self.sampling_rate)
-            _, mix = make_snr_mixture(src, noi, int(snr))
-            mixtures.append(mix)
-            captions.append(caption)
-        batch = np.zeros((self.batch_size, 1, self._fixed_len), np.float32)
-        for i, m in enumerate(mixtures):
-            batch[i, 0, :min(len(m), self._fixed_len)] = \
-                m[:self._fixed_len]
-        captions += [captions[0]] * (self.batch_size - len(captions))
-        conditions = np.asarray(pl_model.query_encoder.get_query_embed(
-            modality="text", text=captions))
-        pl_model.calibrate(batch, conditions)
+    def calibrate(self, pl_model, num_batches: int = 4) -> None:
+        """Int8 PTQ calibration over the first `num_batches` eval batches
+        (model loaded with quantize=True). Multi-batch matters: per-lane
+        activation ranges are FiLM-conditioned and swing widely across
+        queries, so single-batch calibration under-covers held-out rows
+        (ops/quant.py calibration notes — amax accumulates across calls).
+        Finishes with an offline weight pre-quantization pack
+        (SeparationInference.pack) so eval forwards carry no float folded
+        kernels."""
+        last = None
+        for start in range(0, min(len(self.eval_list),
+                                  num_batches * self.batch_size),
+                           self.batch_size):
+            rows = self.eval_list[start:start + self.batch_size]
+            mixtures, captions = [], []
+            for source_name, noise_name, snr, caption in rows:
+                src = load_mono(os.path.join(self.audio_dir,
+                                             f"{source_name}.wav"),
+                                self.sampling_rate)
+                noi = load_mono(os.path.join(self.audio_dir,
+                                             f"{noise_name}.wav"),
+                                self.sampling_rate)
+                _, mix = make_snr_mixture(src, noi, int(snr))
+                mixtures.append(mix)
+                captions.append(caption)
+            batch = np.zeros((self.batch_size, 1, self._fixed_len),
+                             np.float32)
+            for i, m in enumerate(mixtures):
+                batch[i, 0, :min(len(m), self._fixed_len)] = \
+                    m[:self._fixed_len]
+            captions += [captions[0]] * (self.batch_size - len(captions))
+            conditions = np.asarray(pl_model.query_encoder.get_query_embed(
+                modality="text", text=captions))
+            pl_model.calibrate(batch, conditions)
+            last = (batch, conditions)
+        pl_model.pack(*last)
 
     def __call__(self, pl_model) -> Tuple[float, float, float]:
         """pl_model: object with .query_encoder.get_query_embed and
@@ -184,32 +197,64 @@ class SeparationInference:
 
     def calibrate(self, mixtures: np.ndarray, conditions: np.ndarray
                   ) -> None:
-        """One-time int8 PTQ calibration (requires the bound model built
-        with quantize=True — see ops/quant.py). Runs the FLOAT path
-        recording per-lane amax into the 'quant' collection, merges it
-        into the bound variables, and re-jits the forward so subsequent
-        separate() calls execute the int8 MXU path. Call once (or several
-        times — amax accumulates) with representative data."""
+        """Int8 PTQ calibration (requires the bound model built with
+        quantize=True — see ops/quant.py). Runs the FLOAT path recording
+        per-lane amax into the 'quant' collection and merges it into the
+        bound variables. Call SEVERAL times with different representative
+        batches — amax accumulates (running max), and per-lane ranges in
+        this model are FiLM-conditioned so multi-batch coverage tightens
+        held-out quality markedly (ops/quant.py calibration notes). The
+        quantized forward is (re)built lazily on the next separate()."""
         import jax
 
         if self.mesh is not None:
             raise NotImplementedError(
                 "quantized eval + data-parallel mesh not wired yet")
         jnp = self._jnp
-        model, variables = self.model, self.variables
-        _, quant_vars = jax.jit(
-            lambda m, c: model.apply(
-                variables, {"mixture": m, "condition": c},
-                train=False, mutable=["quant"]),
-        )(jnp.asarray(mixtures), jnp.asarray(conditions))
+        model = self.model
+        # variables are an ARGUMENT (not a closure) so repeated
+        # calibration batches reuse one compiled executable
+        if not hasattr(self, "_calib_fn"):
+            self._calib_fn = jax.jit(lambda v, m, c: model.apply(
+                v, {"mixture": m, "condition": c},
+                train=False, mutable=["quant"]))
+        _, quant_vars = self._calib_fn(
+            self.variables, jnp.asarray(mixtures), jnp.asarray(conditions))
         if not jax.tree_util.tree_leaves(quant_vars):
             raise ValueError(
                 "model records no 'quant' scales — build it with "
                 "quantize=True (load_ss_model(..., quantize=True))")
-        merged = {**variables, **jax.device_get(quant_vars)}
-        self.variables = merged
-        self._forward = jax.jit(lambda m, c: model.apply(
-            merged, {"mixture": m, "condition": c},
+        self.variables = {**self.variables, **jax.device_get(quant_vars)}
+        self._forward = None  # rebuilt (int8) on next separate()
+
+    def pack(self, mixtures: np.ndarray, conditions: np.ndarray) -> None:
+        """Offline weight pre-quantization (ops/quant.py:qconv):
+        after calibration, quantize every hot conv's folded kernel ONCE
+        into the 'qpack' collection. Subsequent forwards consume the int8
+        kernels directly — no per-forward quantize ops and no float folded
+        kernels resident in the eval executable (the double residency is
+        what OOMed batch 32 on the in-graph path). Numerically identical
+        to in-graph quantization (pinned in tests/test_quant.py)."""
+        import jax
+
+        jnp = self._jnp
+        model = self.model
+        _, qpack = jax.jit(lambda v, m, c: model.apply(
+            v, {"mixture": m, "condition": c},
+            train=False, mutable=["qpack"]))(
+            self.variables, jnp.asarray(mixtures), jnp.asarray(conditions))
+        if not jax.tree_util.tree_leaves(qpack):
+            raise ValueError("no packed kernels recorded — calibrate() "
+                             "first (quantize=True model)")
+        self.variables = {**self.variables, **jax.device_get(qpack)}
+        self._forward = None
+
+    def _build_forward(self):
+        import jax
+
+        model, variables = self.model, self.variables
+        return jax.jit(lambda m, c: model.apply(
+            variables, {"mixture": m, "condition": c},
             train=False)["waveform"])
 
     def separate(self, mixtures: np.ndarray, conditions: np.ndarray
@@ -217,6 +262,8 @@ class SeparationInference:
         """(B, 1, L) float32 -> (B, 1, L). Pads L to a hop multiple to keep
         jit shape variants few."""
         jnp = self._jnp
+        if self._forward is None:  # invalidated by calibrate()/pack()
+            self._forward = self._build_forward()
         b, c, length = mixtures.shape
         m = self.pad_multiple
         padded = -(-length // m) * m
@@ -235,6 +282,8 @@ class SeparationInference:
             ChunkConfig, chunk_inference, chunk_inference_device)
 
         jnp = self._jnp
+        if self._forward is None:  # invalidated by calibrate()/pack()
+            self._forward = self._build_forward()
         cfg = chunk_cfg or ChunkConfig()
 
         def apply_fn(input_dict):

@@ -74,10 +74,10 @@ class ConvBlockRes(nn.Module):
 
         int8 = not self.is_mutable_collection("quant")
 
-        def conv(h, kern, scale, bias=None):
+        def conv(h, kern, scale, pack_name, bias=None):
             if int8:
-                return Q.conv_int8(h, kern, scale, padding="SAME",
-                                   bias=bias)
+                return Q.qconv(self, pack_name, h, lambda: kern, scale,
+                               padding="SAME", bias=bias)
             y = jax.lax.conv_general_dilated(
                 h, kern.astype(h.dtype), (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -92,17 +92,17 @@ class ConvBlockRes(nn.Module):
         h = BatchNorm(self.in_channels, self.momentum, name="bn1")(x, False)
         h = leaky_relu(h + _bcast(film["beta1"]).astype(h.dtype))
         s1 = Q.amax_observer(self, "conv1_in", self.in_channels).record(h)
-        h = conv(h, w1, s1)
+        h = conv(h, w1, s1, "conv1_q")
         h = BatchNorm(self.out_channels, self.momentum, name="bn2")(h, False)
         h = leaky_relu(h + _bcast(film["beta2"]).astype(h.dtype))
         s2 = Q.amax_observer(self, "conv2_in", self.out_channels).record(h)
-        h = conv(h, w2, s2)
+        h = conv(h, w2, s2, "conv2_q")
         if self.in_channels != self.out_channels:
             ws, bs = ConvParams((1, 1, self.in_channels, self.out_channels),
                                 use_bias=True, name="shortcut")()
             ss = Q.amax_observer(
                 self, "shortcut_in", self.in_channels).record(x)
-            return conv(x, ws, ss, bias=bs) + h
+            return conv(x, ws, ss, "shortcut_q", bias=bs) + h
         return x + h
 
 

@@ -992,9 +992,12 @@ class FoldedConvBlockRes(nn.Module):
             scale1 = obs1.record(h)
         if int8:
             from lass_tpu.ops import quant as Q
-            kern1 = _phase_kernel(w1, s, False, groups)
-            h = Q.conv_int8(h, kern1, scale1,
-                            padding=((kh // 2, kh // 2), (1, 1)))
+
+            def kern1():
+                return _phase_kernel(w1, s, False, groups)
+
+            h = Q.qconv(self, "conv1_q", h, kern1, scale1,
+                        padding=((kh // 2, kh // 2), (1, 1)))
         elif phase:
             h = folded_conv_phase(h, w1, s, up=False, in_groups=groups)
         else:
@@ -1023,9 +1026,12 @@ class FoldedConvBlockRes(nn.Module):
                 scale2 = obs2.record(h)
             if int8:
                 from lass_tpu.ops import quant as Q
-                kern2 = _phase_kernel(w2, s, True, None)
-                h = Q.conv_int8(h, kern2, scale2,
-                                padding=((kh // 2, kh // 2), (0, 0)))
+
+                def kern2():
+                    return _phase_kernel(w2, s, True, None)
+
+                h = Q.qconv(self, "conv2_q", h, kern2, scale2,
+                            padding=((kh // 2, kh // 2), (0, 0)))
             else:
                 h = folded_conv_phase(h, w2, s, up=True)
         else:
@@ -1037,10 +1043,12 @@ class FoldedConvBlockRes(nn.Module):
                 scale_s = obs_s.record(x)
             if int8:
                 from lass_tpu.ops import quant as Q
-                kern_s = fold_conv_kernel(ws, s, groups)
-                return Q.conv_int8(
-                    x, kern_s, scale_s, padding="SAME",
-                    bias=jnp.tile(bs, s)) + h
+
+                def kern_s():
+                    return fold_conv_kernel(ws, s, groups)
+
+                return Q.qconv(self, "shortcut_q", x, kern_s, scale_s,
+                               padding="SAME", bias=jnp.tile(bs, s)) + h
             return folded_conv(x, ws, s, bias=bs, in_groups=groups) + h
         return x + h
 
@@ -1137,13 +1145,15 @@ class FoldedDecoderBlockRes1B(nn.Module):
                 scale_t = Q.amax_observer(
                     self, "convt_in", h.shape[-1]).record(h)
                 if not self.is_mutable_collection("quant"):
-                    e = jnp.asarray(_convT_fold_embedding(self.fold_in))
-                    kern = jnp.einsum("rjq,kjoc->krcqo", e, wt[::-1])
-                    kern = kern.reshape(2, 1, self.fold_in * wt.shape[-1],
-                                        2 * self.fold_in * wt.shape[-2])
-                    h = Q.conv_int8(h, kern, scale_t,
-                                    padding=((1, 1), (0, 0)),
-                                    lhs_dilation=(2, 1))
+                    def kern():
+                        e = jnp.asarray(_convT_fold_embedding(self.fold_in))
+                        k = jnp.einsum("rjq,kjoc->krcqo", e, wt[::-1])
+                        return k.reshape(2, 1, self.fold_in * wt.shape[-1],
+                                         2 * self.fold_in * wt.shape[-2])
+
+                    h = Q.qconv(self, "convt_q", h, kern, scale_t,
+                                padding=((1, 1), (0, 0)),
+                                lhs_dilation=(2, 1))
                 else:
                     h = folded_convT_2x2(h, wt.astype(h.dtype),
                                          self.fold_in)

@@ -97,21 +97,37 @@ def _conv_int8_dot(xq: jax.Array, kq: jax.Array, padding) -> jax.Array:
     return acc
 
 
-def conv_int8(x: jax.Array, kern: jax.Array, x_scale: jax.Array,
+def conv_int8(x: jax.Array, kern, x_scale: jax.Array,
               *, padding, bias: Optional[jax.Array] = None,
-              lhs_dilation=None, out_dtype=None) -> jax.Array:
+              lhs_dilation=None, out_dtype=None,
+              packed: Optional[dict] = None) -> jax.Array:
     """NHWC conv with both operands quantized to int8 and int32 MXU
     accumulation; output dequantized to out_dtype (default: x.dtype).
 
-    kern: the float FOLDED kernel (kh, kw, K, N). x_scale: calibrated
-    per-input-lane activation scales (K,), absorbed into the kernel
-    (channel equalization) so the dequant is per-output-lane only."""
+    kern: the float FOLDED kernel (kh, kw, K, N), or a zero-arg callable
+    producing it (so the fold/phase einsums are traced only when actually
+    needed). x_scale: calibrated per-input-lane activation scales (K,),
+    absorbed into the kernel (channel equalization) so the dequant is
+    per-output-lane only.
+
+    packed: a pre-quantized {'kq', 'sw'} dict from the 'qpack' collection
+    (qconv below). When given, the float kernel is never touched —
+    no per-forward quantization compute and no folded float kernel
+    residency in the eval graph (the round-3 quant path kept BOTH float
+    and int8 kernels live, which is why it OOMed at batch 32)."""
     out_dtype = out_dtype or x.dtype
-    kq, sw = quantize_weight(kern.astype(jnp.float32)
-                             * x_scale[None, None, :, None])
+    if packed is not None:
+        kq, sw = packed["kq"], packed["sw"]
+        if callable(kern):
+            kern = None  # never traced
+    else:
+        if callable(kern):
+            kern = kern()
+        kq, sw = quantize_weight(kern.astype(jnp.float32)
+                                 * x_scale[None, None, :, None])
     xq = quantize_act(x, x_scale)
     if _IMPL == "dot" and lhs_dilation is None:
-        kh, kw = kern.shape[:2]
+        kh, kw = kq.shape[:2]
         pad = (((kh // 2, kh // 2), (kw // 2, kw // 2))
                if padding == "SAME" else padding)
         y = _conv_int8_dot(xq, kq, pad)
@@ -161,3 +177,66 @@ def amax_observer(mdl, name: str, lanes: int) -> AmaxObserver:
     var = mdl.variable(
         "quant", name, lambda: jnp.zeros((lanes,), jnp.float32))
     return AmaxObserver(var, calibrating)
+
+
+def _bc_enabled() -> bool:
+    return os.environ.get("LASS_TPU_QUANT_BC", "1") != "0"
+
+
+def qconv(mdl, name: str, x: jax.Array, kern_fn, x_scale: jax.Array,
+          *, padding, bias: Optional[jax.Array] = None,
+          lhs_dilation=None, out_dtype=None) -> jax.Array:
+    """Quantized conv call site: in-graph, packing, or packed execution.
+
+    Protocol (after amax calibration finishes):
+      pack:  ``out, qpack = model.apply({..., 'quant': scales}, batch,
+             train=False, mutable=['qpack'])`` — each quantized conv
+             computes its int8 kernel + per-output-lane scales ONCE from
+             the float params and the calibrated activation scales, runs
+             the int8 conv, AND records a per-output-lane bias correction
+             bc = mean(y_float - y_int8) over the pack batch. Packing is
+             sequential by construction: each layer's float reference is
+             computed on activations already produced by the quantized
+             (and corrected) predecessors, so bc absorbs the accumulated
+             DC error of the whole prefix, not just this layer's.
+      eval:  pass the returned 'qpack' alongside the variables; convs read
+             the int8 kernels directly (float kernels drop out of the
+             compiled executable — no per-forward quantize ops, no double
+             float+int8 residency) and add bc in the same fused epilogue
+             as the dequant scale, so the correction is runtime-free.
+
+    Without a pack, falls back to plain in-graph quantization (identical
+    int8 math, no bc). LASS_TPU_QUANT_BC=0 disables the correction, in
+    which case packed and in-graph outputs are bit-identical (pinned in
+    tests/test_quant.py). Re-pack after any param or calibration change:
+    an existing pack is never recomputed.
+    """
+    packing = mdl.is_mutable_collection("qpack")
+    if not packing and not mdl.has_variable("qpack", name):
+        return conv_int8(x, kern_fn, x_scale, padding=padding, bias=bias,
+                         lhs_dilation=lhs_dilation, out_dtype=out_dtype)
+
+    def init():
+        kq, sw = quantize_weight(
+            kern_fn().astype(jnp.float32) * x_scale[None, None, :, None])
+        return {"kq": kq, "sw": sw, "bc": jnp.zeros_like(sw)}
+
+    var = mdl.variable("qpack", name, init)
+    pack = var.value
+    out_dtype = out_dtype or x.dtype
+    y = conv_int8(x, None, x_scale, padding=padding,
+                  lhs_dilation=lhs_dilation, out_dtype=jnp.float32,
+                  packed=pack)
+    bc = pack.get("bc") if hasattr(pack, "get") else pack["bc"]
+    if packing and _bc_enabled():
+        y_f = jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), kern_fn().astype(jnp.float32), (1, 1),
+            padding, lhs_dilation=lhs_dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        bc = jnp.mean(y_f - y, axis=tuple(range(y.ndim - 1)))
+        var.value = {"kq": pack["kq"], "sw": pack["sw"], "bc": bc}
+    if bc is not None and _bc_enabled():
+        y = y + bc
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)

@@ -166,9 +166,12 @@ def test_evaluator_single_static_shape(tmp_path, rng):
 
 
 def test_evaluator_quantized_close_to_float(eval_set, rng):
-    """--quantize analog: SeparationInference with quantize=True,
-    calibrated on the first eval batch, must score within ~1 dB SDR of
-    the float evaluator run (random-weight model, tiny eval set)."""
+    """--quantize analog: SeparationInference with quantize=True, with the
+    production calibration protocol (multi-batch amax accumulation +
+    offline weight pack), must score within 0.1 dB of the float evaluator
+    on every reported metric (random-weight model, tiny eval set). This
+    is the quality gate for the int8 headline path — 0.1 dB is well
+    inside the ±0.05+0.05 dB noise band of the reference parity bar."""
     import jax
     import jax.numpy as jnp
 
@@ -189,12 +192,14 @@ def test_evaluator_quantized_close_to_float(eval_set, rng):
                             pad_seconds=1.0)
         if quantize:
             ev.calibrate(pl)
+            assert "qpack" in pl.variables  # packed eval path
         return ev(pl)
 
     f_sisdr, f_sdri, f_sdr = run(False)
     q_sisdr, q_sdri, q_sdr = run(True)
-    assert abs(q_sdr - f_sdr) < 1.0, (q_sdr, f_sdr)
-    assert abs(q_sdri - f_sdri) < 1.0, (q_sdri, f_sdri)
+    assert abs(q_sdr - f_sdr) < 0.1, (q_sdr, f_sdr)
+    assert abs(q_sdri - f_sdri) < 0.1, (q_sdri, f_sdri)
+    assert abs(q_sisdr - f_sisdr) < 0.1, (q_sisdr, f_sisdr)
 
 
 def test_separation_inference_mesh_parity(rng):

@@ -89,7 +89,9 @@ def test_model_quant_kernel_construction_exact(rng, monkeypatch, freq_fold):
     construction (phase pair, convT embedding, shortcut fold, and the
     plain bottleneck blocks' nn.Conv replica) is right."""
     def conv_float(x, kern, x_scale, *, padding, bias=None,
-                   lhs_dilation=None, out_dtype=None):
+                   lhs_dilation=None, out_dtype=None, packed=None):
+        if callable(kern):  # deferred fold/phase einsum (ops/quant.py)
+            kern = kern()
         y = jax.lax.conv_general_dilated(
             x.astype(jnp.float32), kern.astype(jnp.float32), (1, 1),
             padding, lhs_dilation=lhs_dilation,
@@ -113,6 +115,65 @@ def test_model_quant_kernel_construction_exact(rng, monkeypatch, freq_fold):
                         train=False)["waveform"]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0, atol=2e-4)
+
+
+def test_model_qpack_matches_in_graph(rng, monkeypatch):
+    """Offline weight pre-quantization (ops/quant.py:qconv), bias
+    correction disabled: the pack pass and the packed apply must BOTH
+    equal the in-graph quantized apply exactly — packing only hoists
+    quantize_weight out of the forward (same f32 quantize math, same
+    int8 kernels, same int32 accumulation)."""
+    monkeypatch.setenv("LASS_TPU_QUANT_BC", "0")
+    model_f, batch = _tiny_model_and_inputs(rng, quantize=False)
+    model_q, _ = _tiny_model_and_inputs(rng, quantize=True)
+    variables = model_f.init(jax.random.PRNGKey(0), batch, train=False)
+
+    _, quant_vars = model_q.apply(
+        {**variables}, batch, train=False, mutable=["quant"])
+    merged = {**variables, **quant_vars}
+    ref = np.asarray(model_q.apply(merged, batch,
+                                   train=False)["waveform"])
+
+    out_pack, qpack = model_q.apply(merged, batch, train=False,
+                                    mutable=["qpack"])
+    assert len(jax.tree_util.tree_leaves(qpack)) > 0
+    kq_leaves = [v for v in jax.tree_util.tree_leaves(qpack)
+                 if v.dtype == jnp.int8]
+    assert kq_leaves, "pack recorded no int8 kernels"
+    np.testing.assert_array_equal(
+        np.asarray(out_pack["waveform"]), ref)
+
+    out = np.asarray(model_q.apply({**merged, **qpack}, batch,
+                                   train=False)["waveform"])
+    np.testing.assert_array_equal(out, ref)
+    # params untouched: checkpoints/converters oblivious to the pack
+    assert set(merged["params"].keys()) == set(variables["params"].keys())
+
+
+def test_model_qpack_bias_correction_tightens(rng):
+    """With bias correction ON (default), the packed apply must be
+    STRICTLY closer to the float forward than plain in-graph int8 on the
+    pack batch — bc absorbs the accumulated per-lane DC quantization
+    error layer by layer (ops/quant.py:qconv)."""
+    model_f, batch = _tiny_model_and_inputs(rng, quantize=False)
+    model_q, _ = _tiny_model_and_inputs(rng, quantize=True)
+    variables = model_f.init(jax.random.PRNGKey(0), batch, train=False)
+    ref = np.asarray(model_f.apply(variables, batch,
+                                   train=False)["waveform"])
+
+    _, quant_vars = model_q.apply(
+        {**variables}, batch, train=False, mutable=["quant"])
+    merged = {**variables, **quant_vars}
+    plain = np.asarray(model_q.apply(merged, batch,
+                                     train=False)["waveform"])
+    _, qpack = model_q.apply(merged, batch, train=False,
+                             mutable=["qpack"])
+    packed = np.asarray(model_q.apply({**merged, **qpack}, batch,
+                                      train=False)["waveform"])
+
+    err_plain = np.linalg.norm(plain - ref) / np.linalg.norm(ref)
+    err_packed = np.linalg.norm(packed - ref) / np.linalg.norm(ref)
+    assert err_packed < err_plain, (err_packed, err_plain)
 
 
 def test_model_quant_calibrate_then_apply(rng):
