@@ -17,6 +17,7 @@ global sharded array from per-host shards
 from __future__ import annotations
 
 import logging
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -27,14 +28,17 @@ logger = logging.getLogger("lass_tpu.parallel.host")
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
-                         process_id: Optional[int] = None) -> None:
+                         process_id: Optional[int] = None,
+                         rendezvous_timeout_s: Optional[int] = None) -> None:
     """Call once per process before any jax op on multi-host deployments.
 
     On TPU pods jax.distributed.initialize() auto-discovers everything from
     the metadata server; explicit args are for CPU/GPU clusters. A no-arg
     call in a single-process run is skipped (keeps the single-host path
     dependency-free — the reference likewise only inits DDP when launched
-    distributed)."""
+    distributed). rendezvous_timeout_s bounds the coordinator rendezvous
+    (default: jax's 300 s; LASS_TPU_RENDEZVOUS_TIMEOUT_S overrides) —
+    workers on a loaded host can take minutes to reach initialize()."""
     if coordinator_address is None and num_processes is None:
         logger.info("single-process run: skipping "
                     "jax.distributed.initialize()")
@@ -46,9 +50,15 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
     if _dist.global_state.client is not None:
         return  # already initialized
+    if rendezvous_timeout_s is None:
+        env = os.environ.get("LASS_TPU_RENDEZVOUS_TIMEOUT_S")
+        rendezvous_timeout_s = int(env) if env else None
+    kwargs = {}
+    if rendezvous_timeout_s is not None:
+        kwargs["initialization_timeout"] = rendezvous_timeout_s
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
-                               process_id=process_id)
+                               process_id=process_id, **kwargs)
     logger.info("multi-host initialized: process %d/%d, %d local devices",
                 jax.process_index(), jax.process_count(),
                 jax.local_device_count())
