@@ -44,6 +44,31 @@ def test_cnn14_train_mode_dropout(tiny_cnn14, rng):
                            np.asarray(out2["embedding"]))
 
 
+def test_cnn14_numeric_golden():
+    """Fixed-seed forward vs a committed CPU float32 golden
+    (scripts/make_pann_golden.py) — catches NUMERIC regressions in a
+    refactor that keeps shapes, which the other tests here cannot; full
+    reference parity lives in tests/test_reference_parity.py."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "golden", "pann_cnn14.npz")
+    golden = np.load(path)
+    cfg = PANNConfig(mel=LogMelConfig(sample_rate=16000, n_fft=256,
+                                      hop_length=160, n_mels=64))
+    model = Cnn14(cfg)
+    r = np.random.RandomState(7)
+    wave = jnp.asarray(r.randn(2, 16000).astype(np.float32) * 0.1)
+    variables = model.init(jax.random.PRNGKey(0), wave[:1], train=False)
+    out = model.apply(variables, wave, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out["embedding"], np.float32)[:, ::64],
+        golden["embedding_head"], rtol=0, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["clipwise_output"], np.float32)[:, ::16],
+        golden["clipwise_head"], rtol=0, atol=2e-5)
+
+
 def test_cnn10_cnn6_forward(rng):
     from lass_tpu.models.clap.pann import Cnn6, Cnn10
 
