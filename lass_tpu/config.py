@@ -38,7 +38,9 @@ class DataConfig:
 
     @property
     def segment_samples(self) -> int:
-        return self.sampling_rate * self.segment_seconds
+        # segment_seconds may legitimately be fractional (e.g. 1.5 s test
+        # configs) — shapes must still be ints
+        return int(round(self.sampling_rate * self.segment_seconds))
 
 
 @dataclasses.dataclass

@@ -25,6 +25,19 @@ def test_load_base_config():
     assert raw["train"]["batch_size_per_device"] == 128
 
 
+def test_float_segment_seconds_gives_int_samples(tmp_path):
+    """YAML 'segment_seconds: 10.0' (synth.write_train_config emits floats)
+    must still yield an int segment_samples — jnp shapes reject floats
+    (regression: the sustained-train bench crashed in init_state)."""
+    p = tmp_path / "cfg.yaml"
+    p.write_text("task_name: AudioSep\ndata:\n    segment_seconds: 10.0\n")
+    cfg = load_config(str(p))
+    assert cfg.data.segment_samples == 160000
+    assert isinstance(cfg.data.segment_samples, int)
+    cfg.data.segment_seconds = 1.5
+    assert cfg.data.segment_samples == 24000
+
+
 def test_unknown_key_rejected(tmp_path):
     p = tmp_path / "bad.yaml"
     p.write_text("task_name: X\ndata:\n    sampling_rte: 16000\n")
