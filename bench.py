@@ -2,9 +2,12 @@
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
-   "quantization": "int8-ptq", "parity_rel_err": r,
-   "bf16_clips_per_sec": N, "bf16_parity_rel_err": r,
-   "train_steps_per_sec": T, "train_vs_baseline": N}
+   "quantization": "int8-ptq", "parity_rel_err": r, "mfu_bf16_peak": m,
+   "bf16_clips_per_sec": N, "bf16_parity_rel_err": r, "bf16_mfu": m,
+   "train_steps_per_sec": T, "train_vs_baseline": N,
+   "train_sustained_steps_per_sec": S, "train_sustained_frac_of_jit": f,
+   ...train_sustained_{data_wait,dispatch,save_block,metrics_fetch,eval,
+      save_background}_seconds decomposition fields}
 
 Headline configuration: the recommended fast inference settings — int8
 post-training quantization of the hot convs on the int8 MXU plus 1-pass
@@ -187,8 +190,12 @@ def bench_forward(result: dict, batch: int, iters: int) -> None:
     if quant:
         clips = _measure_forward(batch, iters, True, result)
         result["quantization"] = "int8-ptq"
-        bf16 = _measure_forward(batch, iters, False, result, prefix="bf16_")
-        result["bf16_clips_per_sec"] = round(bf16, 2)
+        if os.environ.get("BENCH_BF16", "1") == "1":
+            bf16 = _measure_forward(batch, iters, False, result,
+                                    prefix="bf16_")
+            result["bf16_clips_per_sec"] = round(bf16, 2)
+            result["bf16_mfu"] = round(
+                bf16 * GFLOP_PER_CLIP / V5E_BF16_PEAK_GFLOPS, 3)
     else:
         clips = _measure_forward(batch, iters, False, result)
         result["quantization"] = "none (BENCH_QUANT=0)"
@@ -243,7 +250,9 @@ def bench_train(result: dict, batch: int, iters: int) -> None:
         steps_per_sec / A100_PROXY_TRAIN_STEPS_PER_SEC, 2)
 
 
-def bench_train_sustained(result: dict, batch: int) -> None:
+def bench_train_sustained(result: dict, batch: int,
+                          prefix: str = "train_sustained_",
+                          use_text_ratio: float = 1.0) -> None:
     """Wall-clock training through the REAL host pipeline: synthetic wav
     corpus -> datafile JSON -> threaded decode/resample/crop -> host batch
     -> device transfer -> query-encoder embed -> jitted step, with
@@ -252,23 +261,43 @@ def bench_train_sustained(result: dict, batch: int) -> None:
     README.md:65). Reported as the mean of the steady-state logging
     windows (steps > 50; the first window absorbs the jit compiles), so
     the number excludes compilation but includes every per-step host
-    cost. BENCH_SUSTAIN=0 skips; BENCH_SUSTAIN_STEPS sets the length."""
+    cost, plus a wall-clock decomposition (data wait / dispatch /
+    checkpoint / metric fetches) so the JSON says WHERE non-jit time went.
+    Checkpointing fires mid-run (steps//2) through the NON-BLOCKING save
+    path (train/checkpoint.py:save_async) — the r4 bench measured a 37.4 s
+    main-thread stall per save on the old blocking path.
+    BENCH_SUSTAIN=0 skips; BENCH_SUSTAIN_STEPS sets the length;
+    BENCH_SUSTAIN_HYBRID=1 additionally measures use_text_ratio=0.5
+    (audio-conditioned steps round-trip mix -> CLAP-embed -> premixed
+    step, reference audiosep.py:77-88 ordering)."""
     import glob
     import shutil
 
     from lass_tpu.data.synth import make_synth_corpus, write_train_config
     from lass_tpu.train.loop import Trainer
 
-    steps = int(os.environ.get("BENCH_SUSTAIN_STEPS", "200"))
+    steps = int(os.environ.get("BENCH_SUSTAIN_STEPS", "500"))
     datafile = make_synth_corpus("/tmp/lass_bench_corpus")
     ws = "/tmp/lass_bench_sustained"
     shutil.rmtree(ws, ignore_errors=True)
     os.makedirs(ws)
     cfg = write_train_config(
         os.path.join(ws, "sustained.yaml"), datafile, batch_size=batch,
-        dsp_precision=os.environ.get("BENCH_DSP", "default"))
-    trainer = Trainer(config_yaml=cfg, workspace=ws)
+        dsp_precision=os.environ.get("BENCH_DSP", "default"),
+        save_step_frequency=max(steps // 2, 1),
+        use_text_ratio=use_text_ratio)
+    query_encoder = None
+    if use_text_ratio < 1.0:
+        # hybrid conditioning needs the CLAP audio branch (HTSAT) wired
+        from lass_tpu.models.query_encoder import CLAPQueryEncoder
+
+        query_encoder = CLAPQueryEncoder()
+        query_encoder.attach_audio_encoder(sampling_rate=16000)
+    trainer = Trainer(config_yaml=cfg, workspace=ws,
+                      query_encoder=query_encoder)
+    t0 = time.perf_counter()
     trainer.fit(max_steps=steps)
+    total = time.perf_counter() - t0
 
     metrics_files = glob.glob(
         os.path.join(ws, "tf_logs", "**", "metrics.jsonl"), recursive=True)
@@ -280,13 +309,24 @@ def bench_train_sustained(result: dict, batch: int) -> None:
                 if rec.get("step", 0) > 50 and "steps_per_sec" in rec:
                     windows.append(rec["steps_per_sec"])
     if not windows:
-        result["train_sustained"] = "no steady-state windows logged"
+        result[prefix.rstrip("_")] = "no steady-state windows logged"
         return
     sustained = float(np.mean(windows))
-    result["train_sustained_steps_per_sec"] = round(sustained, 3)
-    result["train_sustained_windows"] = len(windows)
+    result[prefix + "steps_per_sec"] = round(sustained, 3)
+    result[prefix + "windows"] = len(windows)
+    result[prefix + "steps"] = steps
+    result[prefix + "total_seconds"] = round(total, 1)
+    result[prefix + "clips_per_sec"] = round(sustained * batch, 1)
+    # decomposition: where main-thread wall-clock went outside the jitted
+    # step dispatches (trainer.timing, train/loop.py) + checkpoint cost
+    # (blocked = main-thread stall; save = background fetch+write time)
+    for key, val in trainer.timing.items():
+        result[prefix + key + "_seconds"] = round(val, 3)
+    result[prefix + "save_background_seconds"] = round(
+        trainer.ckpt.save_seconds, 2)
+    result[prefix + "save_count"] = trainer.ckpt.save_count
     if "train_steps_per_sec" in result:
-        result["train_sustained_frac_of_jit"] = round(
+        result[prefix + "frac_of_jit"] = round(
             sustained / result["train_steps_per_sec"], 3)
 
 
@@ -305,6 +345,10 @@ def main():
         bench_train(result, batch, max(4, iters // 2))
     if os.environ.get("BENCH_SUSTAIN", "1") != "0":
         bench_train_sustained(result, batch)
+        if os.environ.get("BENCH_SUSTAIN_HYBRID", "0") == "1":
+            bench_train_sustained(result, batch,
+                                  prefix="train_sustained_hybrid_",
+                                  use_text_ratio=0.5)
     print(json.dumps(result))
 
 

@@ -60,7 +60,7 @@ class DataModule:
         return shard_indices_for_host(idx, self.process_index,
                                       self.process_count)
 
-    def _iter_batches(self) -> Iterator[Dict]:
+    def _iter_batches(self, skip_batches: int = 0) -> Iterator[Dict]:
         epoch = 0
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         try:
@@ -69,6 +69,18 @@ class DataModule:
                 rng = np.random.default_rng(self.seed * 7919 + epoch)
                 cursor = 0
                 n = len(indices)
+                # resume fast-forward: skip whole batches WITHOUT decoding
+                # (checkpoint resume, train/loop.py). Exact when no items
+                # dropped in the skipped region — dropped (corrupt/short)
+                # items consume extra top-up indices the skip can't see,
+                # so on dirty corpora the replay realigns within one batch.
+                per_epoch = n // self.batch_size
+                if skip_batches >= per_epoch:
+                    skip_batches -= per_epoch
+                    epoch += 1
+                    continue
+                cursor = skip_batches * self.batch_size
+                skip_batches = 0
 
                 def fetch(i):
                     return self.train_dataset.__getitem__(
@@ -92,14 +104,15 @@ class DataModule:
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
 
-    def train_dataloader(self) -> Iterator[Dict]:
-        """Background-prefetched infinite batch iterator."""
+    def train_dataloader(self, skip_batches: int = 0) -> Iterator[Dict]:
+        """Background-prefetched infinite batch iterator. skip_batches
+        fast-forwards past already-trained steps on checkpoint resume."""
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def producer():
             try:
-                for batch in self._iter_batches():
+                for batch in self._iter_batches(skip_batches):
                     if stop.is_set():
                         return
                     q.put(batch)

@@ -94,12 +94,15 @@ def write_train_config(
     batch_size: int = 16,
     segment_seconds: float = 10.0,
     num_workers: int = 8,
-    save_step_frequency: int = 100,
+    save_step_frequency: int = 20000,
     compute_dtype: str = "bfloat16",
     dsp_precision: str = "default",
+    use_text_ratio: float = 1.0,
 ) -> str:
     """Minimal train-config YAML (same surface as config/audiosep_base.yaml)
-    pointed at a synthetic corpus."""
+    pointed at a synthetic corpus. save_step_frequency defaults to the
+    reference recipe's cadence (audiosep_base.yaml:46 — every 20k steps);
+    benches that want to exercise checkpointing pass an explicit value."""
     with open(path, "w") as f:
         f.write(
             "task_name: AudioSep\n"
@@ -110,6 +113,7 @@ def write_train_config(
             "model:\n"
             f"    compute_dtype: {compute_dtype}\n"
             f"    dsp_precision: {dsp_precision}\n"
+            f"    use_text_ratio: {use_text_ratio}\n"
             "train:\n"
             f"    num_workers: {num_workers}\n"
             f"    batch_size_per_device: {batch_size}\n"

@@ -8,6 +8,8 @@ handles multi-host coordination and atomic writes natively.
 from __future__ import annotations
 
 import os
+import threading
+import time
 from typing import Any, Optional
 
 import jax
@@ -28,6 +30,12 @@ class CheckpointManager:
                 enable_async_checkpointing=True,
             ),
         )
+        # async-save accounting (read by bench.py's sustained decomposition)
+        self._saver: Optional[threading.Thread] = None
+        self._saver_error: Optional[BaseException] = None
+        self.blocked_seconds = 0.0   # main-thread time spent inside saves
+        self.save_seconds = 0.0      # background fetch+serialize time
+        self.save_count = 0
 
     def should_save(self, step: int) -> bool:
         # reference saves at global_step == 1 and every N (callbacks/base.py:28)
@@ -40,7 +48,68 @@ class CheckpointManager:
         return True
 
     def save(self, step: int, state: Any) -> None:
+        t0 = time.perf_counter()
         self._mgr.save(step, args=ocp.args.StandardSave(state))
+        dt = time.perf_counter() - t0
+        self.blocked_seconds += dt
+        self.save_seconds += dt
+        self.save_count += 1
+
+    def save_async(self, step: int, state: Any) -> None:
+        """Non-blocking save: the device->host fetch runs off the main
+        thread so training steps keep dispatching underneath it.
+
+        Orbax's own "async" save still performs the device->host snapshot
+        synchronously before returning (it must — callers may mutate/donate
+        the state right after save()); over the axon tunnel that fetch is
+        tens of seconds and was the dominant sustained-training stall
+        (BENCH_r04: one 37.4 s blocking save inside a 200-step run). Here
+        the main thread only enqueues `copy_to_host_async` on every leaf
+        (microseconds) and hands the references to a saver thread, which
+        completes the fetch (`jax.device_get` just awaits the already-
+        running copies) and writes through orbax on host arrays.
+
+        CONTRACT: `state`'s arrays must stay valid for the lifetime of the
+        background fetch — pass a device-side snapshot (jnp.copy tree) when
+        the training loop donates its state buffers (train/loop.py does).
+        Multi-host runs fall back to the blocking path: orbax needs the
+        sharded jax.Arrays to coordinate a distributed save.
+
+        At most one save is in flight; a second save joins the first.
+        Background errors re-raise on the next save_async()/wait() call.
+        """
+        if jax.process_count() > 1:
+            self.save(step, state)
+            return
+        t0 = time.perf_counter()
+        self._join_saver()
+        for leaf in jax.tree_util.tree_leaves(state):
+            if isinstance(leaf, jax.Array):
+                leaf.copy_to_host_async()
+
+        def work():
+            w0 = time.perf_counter()
+            try:
+                host_state = jax.device_get(state)
+                self._mgr.save(step, args=ocp.args.StandardSave(host_state))
+            except BaseException as exc:  # re-raised at next join
+                self._saver_error = exc
+            finally:
+                self.save_seconds += time.perf_counter() - w0
+
+        self._saver = threading.Thread(target=work, daemon=True,
+                                       name=f"ckpt-save-{step}")
+        self._saver.start()
+        self.blocked_seconds += time.perf_counter() - t0
+        self.save_count += 1
+
+    def _join_saver(self) -> None:
+        if self._saver is not None:
+            self._saver.join()
+            self._saver = None
+        if self._saver_error is not None:
+            exc, self._saver_error = self._saver_error, None
+            raise RuntimeError("background checkpoint save failed") from exc
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -68,6 +137,7 @@ class CheckpointManager:
             ) from exc
 
     def wait(self) -> None:
+        self._join_saver()
         self._mgr.wait_until_finished()
 
     def close(self) -> None:

@@ -69,6 +69,9 @@ def opt_shardings(opt_state, p_shard, rep, model_parallel: int = 1):
     ams, rest = opt_state
     flat = isinstance(ams.mu, jax.Array)
     if flat and model_parallel > 1:
+        # only reachable by FORCING LASS_TPU_FLAT_OPT=1 under TP —
+        # build_optimizer auto-selects tree-form moments when
+        # model_parallel > 1 precisely so optimizer memory shards
         import logging
 
         logging.getLogger("lass_tpu.optim").warning(
@@ -141,6 +144,7 @@ def build_optimizer(
     warm_up_steps: int,
     reduce_lr_steps: int,
     flatten: Optional[bool] = None,
+    model_parallel: int = 1,
 ) -> optax.GradientTransformation:
     if optimizer_type != "AdamW":
         raise NotImplementedError(f"optimizer '{optimizer_type}'")
@@ -152,7 +156,16 @@ def build_optimizer(
         optax.scale_by_learning_rate(
             lambda step: learning_rate * lam(step)))
     if flatten is None:
-        flatten = os.environ.get("LASS_TPU_FLAT_OPT", "1") == "1"
+        env = os.environ.get("LASS_TPU_FLAT_OPT")
+        if env is not None:
+            flatten = env == "1"
+        else:
+            # flat moments win on single-chip/DP (one fused elementwise
+            # update instead of ~450 tiny staged ops) but CANNOT follow
+            # per-param TP shardings — optimizer memory would replicate
+            # (opt_shardings above). Tree-form under TP shards moments
+            # exactly like their params.
+            flatten = model_parallel == 1
     if flatten:
         # Run the (purely elementwise) update on ONE concatenated vector:
         # per-tensor updates over ~450 small arrays spend 126 ms/step on

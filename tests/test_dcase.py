@@ -202,6 +202,82 @@ def test_evaluator_quantized_close_to_float(eval_set, rng):
     assert abs(q_sisdr - f_sisdr) < 0.1, (q_sisdr, f_sisdr)
 
 
+def test_evaluator_quantized_heldout_queries(tmp_path, rng):
+    """Held-out-query int8 gate (VERDICT r4 item 5): calibrate on one
+    caption/row set, evaluate on a DISJOINT set, with a query encoder
+    whose embeddings actually differ per caption (the base gate's zero
+    embeddings make every FiLM condition identical, which is exactly the
+    easy case). ops/quant.py's calibration notes claim per-lane activation
+    ranges are FiLM-conditioned and swing across queries — this pins that
+    the multi-batch amax protocol still holds 0.1 dB on queries never seen
+    during calibration."""
+    import jax
+    import jax.numpy as jnp
+
+    from lass_tpu.evaluation.dcase import SeparationInference
+    from lass_tpu.models.resunet import ResUNet30
+
+    class HashQE:
+        """Deterministic per-caption unit-normal embeddings — distinct
+        FiLM conditioning per query, disjoint across caption sets."""
+
+        def get_query_embed(self, modality, text=None, **kw):
+            import zlib
+
+            out = np.stack([
+                np.random.default_rng(zlib.crc32(t.encode()))
+                .standard_normal(512).astype(np.float32)
+                for t in text])
+            return out / np.linalg.norm(out, axis=-1, keepdims=True)
+
+    def write_split(split, row_ids):
+        names = []
+        for i in row_ids:
+            for kind in ["src", "noise"]:
+                name = f"{kind}{i}"
+                path = tmp_path / f"{name}.wav"
+                if not path.exists():
+                    write_wav(str(path),
+                              rng.randn(1, 16000).astype(np.float32) * 0.1,
+                              16000)
+            names.append(i)
+        csv_path = tmp_path / f"eval_{split}.csv"
+        with open(csv_path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["source", "noise", "snr", "caption"])
+            for i in names:
+                w.writerow([f"src{i}", f"noise{i}", str((i % 3) * 5 - 5),
+                            f"{split} query about sound {i}"])
+        return str(csv_path)
+
+    calib_csv = write_split("calib", range(0, 4))
+    heldout_csv = write_split("heldout", range(4, 8))
+
+    ex = {"mixture": jnp.zeros((4, 1, 16000), jnp.float32),
+          "condition": jnp.zeros((4, 512), jnp.float32)}
+    variables = ResUNet30(freq_fold=4).init(
+        jax.random.PRNGKey(0), ex, train=False)
+
+    heldout_ev = DCASEEvaluator(16000, heldout_csv, str(tmp_path),
+                                batch_size=4, pad_seconds=1.0)
+
+    def run(quantize):
+        model = ResUNet30(freq_fold=4, quantize=quantize)
+        pl = SeparationInference(model, variables, HashQE())
+        if quantize:
+            # calibration sees ONLY the calib split's captions/rows
+            DCASEEvaluator(16000, calib_csv, str(tmp_path), batch_size=4,
+                           pad_seconds=1.0).calibrate(pl)
+            assert "qpack" in pl.variables
+        return heldout_ev(pl)
+
+    f_sisdr, f_sdri, f_sdr = run(False)
+    q_sisdr, q_sdri, q_sdr = run(True)
+    assert abs(q_sdr - f_sdr) < 0.1, (q_sdr, f_sdr)
+    assert abs(q_sdri - f_sdri) < 0.1, (q_sdri, f_sdri)
+    assert abs(q_sisdr - f_sisdr) < 0.1, (q_sisdr, f_sisdr)
+
+
 def test_separation_inference_mesh_parity(rng):
     """SeparationInference(mesh=8-device DP) == single-device output."""
     import jax
