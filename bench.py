@@ -285,7 +285,10 @@ def bench_train_sustained(result: dict, batch: int,
         os.path.join(ws, "sustained.yaml"), datafile, batch_size=batch,
         dsp_precision=os.environ.get("BENCH_DSP", "default"),
         save_step_frequency=max(steps // 2, 1),
-        use_text_ratio=use_text_ratio)
+        use_text_ratio=use_text_ratio,
+        # int16 wire halves the per-step upload (exact for the PCM-backed
+        # corpus — config.py wire_dtype); recommended TPU setting
+        wire_dtype=os.environ.get("BENCH_WIRE", "int16"))
     query_encoder = None
     if use_text_ratio < 1.0:
         # hybrid conditioning needs the CLAP audio branch (HTSAT) wired

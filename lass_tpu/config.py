@@ -83,6 +83,14 @@ class TrainConfig:
     save_step_frequency: int = 20000
     early_stop_steps: int = 10000001
     random_seed: int = 1234
+    # Host->device wire format for training waveforms (TPU-native
+    # extension; no reference equivalent). 'int16' halves the per-step
+    # upload — EXACT for PCM-sourced audio (read_wav scales by 1/32768,
+    # audio/io.py; the device casts back with the same power-of-two
+    # scale), and adds only ~-96 dB requantization noise for resampled
+    # clips. Recommended on hosts with constrained host<->device
+    # bandwidth; 'float32' is the lossless default.
+    wire_dtype: str = "float32"
 
 
 @dataclasses.dataclass
@@ -135,4 +143,7 @@ def load_config(config_yaml: str) -> Config:
     if cfg.data.max_mix_num < 2:
         raise ValueError("max_mix_num must be >= 2 (reference mixer asserts "
                          "mix_num >= 2, waveform_mixers.py:36)")
+    if cfg.train.wire_dtype not in ("float32", "int16"):
+        raise ValueError("train.wire_dtype must be 'float32' or 'int16', "
+                         f"got {cfg.train.wire_dtype!r}")
     return cfg

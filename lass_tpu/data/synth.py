@@ -98,6 +98,7 @@ def write_train_config(
     compute_dtype: str = "bfloat16",
     dsp_precision: str = "default",
     use_text_ratio: float = 1.0,
+    wire_dtype: str = "float32",
 ) -> str:
     """Minimal train-config YAML (same surface as config/audiosep_base.yaml)
     pointed at a synthetic corpus. save_step_frequency defaults to the
@@ -118,5 +119,6 @@ def write_train_config(
             f"    num_workers: {num_workers}\n"
             f"    batch_size_per_device: {batch_size}\n"
             f"    save_step_frequency: {save_step_frequency}\n"
+            f"    wire_dtype: {wire_dtype}\n"
         )
     return path

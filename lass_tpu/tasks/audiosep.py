@@ -33,6 +33,19 @@ from lass_tpu.data.mixer import SegmentMixer
 from lass_tpu.losses import get_loss_function
 
 
+def _decode_wire(waveform: jax.Array) -> jax.Array:
+    """Decode the host->device wire format (config train.wire_dtype).
+
+    int16 batches carry PCM samples scaled by 32768 (the inverse of
+    read_wav's 1/32768, audio/io.py:142); the cast-and-scale below is
+    exact for PCM-sourced audio because 1/32768 is a power of two, and
+    XLA fuses it into the first consumer. Float batches pass through.
+    """
+    if waveform.dtype == jnp.int16:
+        return waveform.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+    return waveform
+
+
 def _flat_global_norm(tree) -> jax.Array:
     """L2 norm of a pytree as ONE fused reduction over the raveled
     vector. optax.global_norm's per-leaf sum-squares lower to ~hundreds
@@ -114,7 +127,8 @@ class AudioSepTask:
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         """batch: {'waveform': (B, 1, L), 'condition': (B, 512)}."""
         step_key = jax.random.fold_in(rng, state.step)
-        mixtures, segments = self.mixer(batch["waveform"], step_key)
+        mixtures, segments = self.mixer(_decode_wire(batch["waveform"]),
+                                        step_key)
         return self._update(state, mixtures, segments, batch["condition"])
 
     def train_step_premixed(
@@ -127,7 +141,8 @@ class AudioSepTask:
     def mix(self, waveforms: jax.Array, rng: jax.Array, step: jax.Array
             ) -> Tuple[jax.Array, jax.Array]:
         """Standalone jittable mixing (for hybrid conditioning flows)."""
-        return self.mixer(waveforms, jax.random.fold_in(rng, step))
+        return self.mixer(_decode_wire(waveforms),
+                          jax.random.fold_in(rng, step))
 
     def eval_forward(self, state: TrainState,
                      batch: Dict[str, jax.Array]) -> jax.Array:

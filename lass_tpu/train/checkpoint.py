@@ -7,13 +7,53 @@ handles multi-host coordination and atomic writes natively.
 """
 from __future__ import annotations
 
+import functools
 import os
 import threading
 import time
 from typing import Any, Optional
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
+
+# device->host fetch slice size for background saves (see save_async):
+# small enough that training-step uploads interleave between slices on
+# bandwidth-constrained host<->device links, large enough that per-slice
+# round-trip overhead stays negligible
+_FETCH_CHUNK_BYTES = 8 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _dyn_slice(arr, start, size: int):
+    # dynamic START, static SIZE: every chunk of a given leaf shape
+    # reuses ONE compiled executable (a static python-slice per chunk
+    # would trigger a fresh — minutes-long, remote — compile each time)
+    return jax.lax.dynamic_slice_in_dim(arr.reshape(-1), start, size, 0)
+
+
+def _fetch_chunked(leaf):
+    """Fetch one array device->host in <=_FETCH_CHUNK_BYTES slices.
+
+    Big leaves (the flat AMSGrad moment vectors are ~120 MB each,
+    train/optim.py) would otherwise occupy the transfer link in one
+    uninterruptible burst. Slicing on device is a trivial copy; values
+    are byte-identical to a whole-array device_get.
+    """
+    if not isinstance(leaf, jax.Array) or leaf.nbytes <= _FETCH_CHUNK_BYTES:
+        return np.asarray(jax.device_get(leaf))
+    n = int(np.prod(leaf.shape))
+    rows = max(1, _FETCH_CHUNK_BYTES // leaf.dtype.itemsize)
+    out = np.empty((n,), leaf.dtype)
+    for i in range(0, n, rows):
+        # dynamic_slice clamps the start, so the FINAL window is shifted
+        # to end exactly at n instead of changing shape; its leading rows
+        # overwrite already-written values with the same bytes
+        start = min(i, n - rows)
+        chunk = _dyn_slice(leaf, start, rows)
+        chunk.copy_to_host_async()
+        out[start:start + rows] = np.asarray(jax.device_get(chunk))
+    return out.reshape(leaf.shape)
 
 
 class CheckpointManager:
@@ -77,21 +117,31 @@ class CheckpointManager:
 
         At most one save is in flight; a second save joins the first.
         Background errors re-raise on the next save_async()/wait() call.
+
+        The fetch is CHUNKED (~8 MB slices): enqueueing the whole
+        ~450 MB state as one burst of copies monopolized the tunnel's
+        transfer queue, stalling the training loop's per-step batch
+        uploads (and even scalar metric fetches) for tens of seconds
+        behind checkpoint traffic (BENCH_r04 metrics_fetch 44.9 s over
+        10 fetches). Fetching slice-by-slice leaves gaps where step
+        traffic interleaves; the save takes slightly longer, the step
+        loop barely notices it.
         """
         if jax.process_count() > 1:
             self.save(step, state)
             return
         t0 = time.perf_counter()
         self._join_saver()
-        for leaf in jax.tree_util.tree_leaves(state):
-            if isinstance(leaf, jax.Array):
-                leaf.copy_to_host_async()
 
         def work():
             w0 = time.perf_counter()
             try:
-                host_state = jax.device_get(state)
+                host_state = jax.tree_util.tree_map(_fetch_chunked, state)
                 self._mgr.save(step, args=ocp.args.StandardSave(host_state))
+                # finalize orbax's own async write HERE so its errors are
+                # caught by this thread (they would otherwise escape raw
+                # from a later wait_until_finished on the main thread)
+                self._mgr.wait_until_finished()
             except BaseException as exc:  # re-raised at next join
                 self._saver_error = exc
             finally:

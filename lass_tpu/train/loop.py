@@ -66,6 +66,93 @@ def build_model(cfg: Config):
     )
 
 
+class _DevicePrefetcher:
+    """Pipelines host batch -> wire encode -> device upload (-> query
+    embed, when it doesn't depend on training state) a couple of batches
+    ahead of the training loop, on one background thread.
+
+    Why (measured on the axon-tunneled v5e, round 5 probe): a 16x10s
+    float32 batch upload completes in ~500 ms when issued serially from
+    the step loop but ~250 ms when the next upload is already in flight,
+    while the jitted train step is ~167 ms — the serial
+    fetch->put->embed->step loop was UPLOAD-bound at 0.35x the jit rate
+    (BENCH_r04/r05 dispatch decomposition). jax dispatch is thread-safe;
+    the producer thread keeps the host->device link busy while the main
+    thread keeps the device compute queue full. Combined with
+    train.wire_dtype=int16 (halves upload bytes) the sustained rate
+    tracks the in-jit rate.
+
+    ``prepare(i, host_batch)`` runs on the producer thread and returns
+    the device-resident item; exceptions re-raise on the consumer side.
+    """
+
+    def __init__(self, source, prepare, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._err: Optional[BaseException] = None
+
+        def run():
+            try:
+                for i, batch in enumerate(source):
+                    item = prepare(i, batch)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put((item,), timeout=0.25)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
+            except BaseException as exc:  # surfaced at next __next__
+                self._err = exc
+            # sentinel: normal end-of-data or error
+            while not self._stop.is_set():
+                try:
+                    self._q.put(None, timeout=0.25)
+                    return
+                except queue.Full:
+                    continue
+
+        self._thread = threading.Thread(target=run, daemon=True,
+                                        name="device-prefetch")
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        wrapped = self._q.get()
+        if wrapped is None:
+            if self._err is not None:
+                err, self._err = self._err, None
+                raise RuntimeError("device prefetch failed") from err
+            raise StopIteration
+        return wrapped[0]
+
+    def close(self):
+        self._stop.set()
+        # drain so a blocked put wakes up
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._thread.join(timeout=5)
+
+
+def _encode_wire(waveform: np.ndarray, wire_dtype: str) -> np.ndarray:
+    """Host side of config train.wire_dtype: int16 halves the per-step
+    upload; tasks/audiosep.py:_decode_wire inverts it on device (exact
+    for PCM-sourced audio — read_wav scales by 1/32768)."""
+    if wire_dtype != "int16":
+        return waveform
+    return np.clip(np.rint(np.asarray(waveform) * 32768.0),
+                   -32768, 32767).astype(np.int16)
+
+
 class Trainer:
     def __init__(
         self,
@@ -181,10 +268,15 @@ class Trainer:
         self._snapshot_fn = jax.jit(
             lambda s: jax.tree_util.tree_map(jnp.copy, s))
         # per-phase wall-clock decomposition of fit(), read by bench.py's
-        # sustained bench (VERDICT r4 item 1/6: say WHERE non-jit time goes)
+        # sustained bench (VERDICT r4 item 1/6: say WHERE non-jit time
+        # goes). data_wait/dispatch/save_block/metrics_fetch/eval are
+        # main-thread; prefetch_embed/prefetch_h2d accumulate on the
+        # producer thread and OVERLAP the others (they say what the
+        # background pipeline spent, not added wall time).
         self.timing = {"data_wait": 0.0, "dispatch": 0.0,
                        "save_block": 0.0, "metrics_fetch": 0.0,
-                       "eval": 0.0}
+                       "eval": 0.0, "prefetch_embed": 0.0,
+                       "prefetch_h2d": 0.0}
 
     def fit(self, max_steps: Optional[int] = None,
             eval_hook: Optional[callable] = None) -> TrainState:
@@ -215,94 +307,127 @@ class Trainer:
         timing = self.timing
         pc = time.perf_counter
         t_last = pc()
+        from lass_tpu.parallel.host import put_global_batch
+
+        text_only = self.use_text_ratio >= 1.0
+        wire = cfg.train.wire_dtype
+        # per-step embed seed: deterministic AND resume-exact — a fresh
+        # process's modality draws continue exactly where the killed run's
+        # would have (a stateful rng stream would restart from zero)
+        seed_base = cfg.train.random_seed * 1000003
+        resume_step = step
+
+        def prepare(i, batch):
+            """Producer-thread half of the step (upload + state-free
+            embed). Text-only conditioning embeds here too — it depends
+            only on the batch; hybrid embeds on the main thread because
+            it must see the MIXED segments (reference audiosep.py:77-88).
+            """
+            at = batch["audio_text"]
+            waveform = _encode_wire(at["waveform"], wire)
+            if text_only:
+                t0 = pc()
+                condition = self.query_encoder.get_query_embed(
+                    "hybird", text=at["text"], audio=None,
+                    use_text_ratio=self.use_text_ratio,
+                    seed=seed_base + resume_step + i)
+                timing["prefetch_embed"] += pc() - t0
+                t0 = pc()
+                # condition stays a DEVICE array in single-process runs
+                # (np.asarray would block on the encoder's output);
+                # multi-host assembly needs the local numpy shard
+                data = put_global_batch(
+                    {"waveform": waveform,
+                     "condition": np.asarray(condition) if multiproc
+                     else condition},
+                    self.batch_shard)
+                timing["prefetch_h2d"] += pc() - t0
+                return data
+            t0 = pc()
+            dev_waveform = put_global_batch(
+                {"waveform": waveform}, self.batch_shard)["waveform"]
+            timing["prefetch_h2d"] += pc() - t0
+            return dev_waveform, at["text"]
+
         with self.mesh:
             # resume-aware: skip the first `step` batches WITHOUT decoding,
             # so a resumed run replays the exact data sequence an
             # uninterrupted run would see at these steps (byte-exact
             # continuation — tested by the soak harness, scripts/soak.py)
-            data_iter = self.datamodule.train_dataloader(skip_batches=step)
-            while True:
-                t0 = pc()
-                batch = next(data_iter, None)
-                timing["data_wait"] += pc() - t0
-                if batch is None:
-                    break
-                t0 = pc()
-                at = batch["audio_text"]
-                from lass_tpu.parallel.host import put_global_batch
-
-                if self.use_text_ratio >= 1.0:
-                    # text-only (baseline config): mixing fuses into the
-                    # train step, nothing round-trips to the host. The
-                    # condition stays a DEVICE array in single-process runs
-                    # (np.asarray would block on the encoder's output);
-                    # multi-host assembly needs the local numpy shard.
-                    condition = self.query_encoder.get_query_embed(
-                        "hybird", text=at["text"], audio=None,
-                        use_text_ratio=self.use_text_ratio)
-                    data = put_global_batch(
-                        {"waveform": at["waveform"],
-                         "condition": np.asarray(condition) if multiproc
-                         else condition},
-                        self.batch_shard)
-                    self.state, metrics = self._step_fn(self.state, data,
-                                                        rng)
-                else:
-                    # hybrid: mix first (same fold_in(rng, step) key the
-                    # fused path would use), embed the mixed segments
-                    # (reference audiosep.py:77-88), then step premixed
-                    waveform = put_global_batch(
-                        {"waveform": at["waveform"]},
-                        self.batch_shard)["waveform"]
-                    mixtures, segments = self._mix_fn(waveform, rng,
-                                                      self.state.step)
-                    condition = self.query_encoder.get_query_embed(
-                        "hybird", text=at["text"], audio=segments[:, 0],
-                        use_text_ratio=self.use_text_ratio)
-                    data = {
-                        "mixture": mixtures,
-                        "segment": segments,
-                        "condition": put_global_batch(
-                            {"condition": np.asarray(condition) if multiproc
-                             else condition},
-                            self.batch_shard)["condition"],
-                    }
-                    self.state, metrics = self._premixed_fn(self.state, data)
-                step += 1
-                timing["dispatch"] += pc() - t0
-                if step % log_every == 0 or step == 1:
+            prefetch = _DevicePrefetcher(
+                self.datamodule.train_dataloader(skip_batches=step), prepare)
+            try:
+                while True:
                     t0 = pc()
-                    loss = float(metrics["train_loss"])
-                    timing["metrics_fetch"] += pc() - t0
-                    dt = pc() - t_last
-                    t_last = pc()
-                    sps = log_every / dt if step > 1 else 1 / dt
-                    logging.info("step %d loss %.5f (%.2f steps/s)",
-                                 step, loss, sps)
-                    self.metrics.log(step, {
-                        "train_loss": loss,
-                        "grad_norm": float(metrics["grad_norm"]),
-                        "steps_per_sec": sps,
-                    })
-                if (eval_hook is not None
-                        and step % cfg.train.evaluate_step_frequency == 0):
+                    item = next(prefetch, None)
+                    timing["data_wait"] += pc() - t0
+                    if item is None:
+                        break
                     t0 = pc()
-                    eval_metrics = eval_hook(self, step)
-                    if eval_metrics:
-                        self.metrics.log(step, eval_metrics)
-                        self.statistics.append(step, eval_metrics, "test")
-                        logging.info("eval @ %d: %s", step, eval_metrics)
-                    timing["eval"] += pc() - t0
-                    t_last = pc()  # keep steps/s windows eval-free
-                if self.ckpt.should_save(step):
-                    # non-blocking: snapshot on device (the step fns donate
-                    # self.state — save_async docstring), fetch + write in
-                    # the manager's saver thread while steps keep running
-                    t0 = pc()
-                    self.ckpt.save_async(step, self._snapshot_fn(self.state))
-                    timing["save_block"] += pc() - t0
-                if step >= stop_at:
-                    break
+                    if text_only:
+                        self.state, metrics = self._step_fn(self.state, item,
+                                                            rng)
+                    else:
+                        # hybrid: mix first (same fold_in(rng, step) key the
+                        # fused path would use), embed the mixed segments,
+                        # then step premixed
+                        dev_waveform, text = item
+                        mixtures, segments = self._mix_fn(dev_waveform, rng,
+                                                          self.state.step)
+                        condition = self.query_encoder.get_query_embed(
+                            "hybird", text=text, audio=segments[:, 0],
+                            use_text_ratio=self.use_text_ratio,
+                            seed=seed_base + step)
+                        data = {
+                            "mixture": mixtures,
+                            "segment": segments,
+                            "condition": put_global_batch(
+                                {"condition": np.asarray(condition)
+                                 if multiproc else condition},
+                                self.batch_shard)["condition"],
+                        }
+                        self.state, metrics = self._premixed_fn(self.state,
+                                                                data)
+                    step += 1
+                    timing["dispatch"] += pc() - t0
+                    if step % log_every == 0 or step == 1:
+                        t0 = pc()
+                        loss = float(metrics["train_loss"])
+                        timing["metrics_fetch"] += pc() - t0
+                        dt = pc() - t_last
+                        t_last = pc()
+                        sps = log_every / dt if step > 1 else 1 / dt
+                        logging.info("step %d loss %.5f (%.2f steps/s)",
+                                     step, loss, sps)
+                        self.metrics.log(step, {
+                            "train_loss": loss,
+                            "grad_norm": float(metrics["grad_norm"]),
+                            "steps_per_sec": sps,
+                        })
+                    if (eval_hook is not None
+                            and step % cfg.train.evaluate_step_frequency
+                            == 0):
+                        t0 = pc()
+                        eval_metrics = eval_hook(self, step)
+                        if eval_metrics:
+                            self.metrics.log(step, eval_metrics)
+                            self.statistics.append(step, eval_metrics, "test")
+                            logging.info("eval @ %d: %s", step, eval_metrics)
+                        timing["eval"] += pc() - t0
+                        t_last = pc()  # keep steps/s windows eval-free
+                    if self.ckpt.should_save(step):
+                        # non-blocking: snapshot on device (the step fns
+                        # donate self.state — save_async docstring), fetch +
+                        # write in the manager's saver thread while steps
+                        # keep running
+                        t0 = pc()
+                        self.ckpt.save_async(step,
+                                             self._snapshot_fn(self.state))
+                        timing["save_block"] += pc() - t0
+                    if step >= stop_at:
+                        break
+            finally:
+                prefetch.close()
         self.ckpt.wait()
         self.metrics.finish()
         return self.state

@@ -19,7 +19,7 @@ survives hours, checkpoints under load, or resumes exactly. This harness:
 
 Run on the TPU (default env):  python scripts/soak.py --steps 3000
 CPU smoke:  PYTHONPATH= JAX_PLATFORMS=cpu python scripts/soak.py \
-    --steps 120 --kill_after 60 --tiny
+    --steps 200 --kill_after 40 --save_every 40 --eval_every 60 --tiny
 """
 from __future__ import annotations
 
@@ -30,6 +30,11 @@ import signal
 import subprocess
 import sys
 import time
+
+# persistent compiled-executable cache (same dir as bench.py): run B's
+# resume — a fresh process — reuses run A's compiles instead of re-paying
+# them (tens of minutes on the 1-core CPU smoke, minutes over the tunnel)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -48,7 +53,8 @@ def build_workspace(args):
         segment_seconds=1.0 if args.tiny else 10.0,
         save_step_frequency=args.save_every,
         compute_dtype="float32" if args.tiny else "bfloat16",
-        dsp_precision="default")
+        dsp_precision="default",
+        wire_dtype=args.wire)
     return cfg
 
 
@@ -165,7 +171,8 @@ def orchestrate(args):
                  "--phase", "train", "--steps", str(args.steps),
                  "--workspace", args.workspace, "--batch", str(args.batch),
                  "--save_every", str(args.save_every),
-                 "--eval_every", str(args.eval_every)]
+                 "--eval_every", str(args.eval_every),
+                 "--wire", args.wire]
     if args.tiny:
         child_cmd.append("--tiny")
 
@@ -266,9 +273,25 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="1 s segments + float32 (CPU smoke)")
+    ap.add_argument("--wire", default="float32",
+                    choices=["float32", "int16"],
+                    help="train.wire_dtype — int16 is the production TPU "
+                    "setting (halves host->device bytes; config.py); the "
+                    "soak then ALSO proves resume-exactness on that path")
     args = ap.parse_args()
     if args.kill_after is None:
         args.kill_after = args.steps // 2
+    if args.phase == "orchestrate":
+        # the kill waits for a finalized checkpoint >= kill_after PLUS one
+        # 60-step logging window; with defaults tuned for a 3000-step run,
+        # a short smoke needs --save_every/--eval_every scaled down too
+        first_ckpt = -(-args.kill_after // args.save_every) * args.save_every
+        if first_ckpt + 60 >= args.steps:
+            raise SystemExit(
+                f"no room to kill run A: first eligible checkpoint is at "
+                f"step {first_ckpt} (save_every={args.save_every}, "
+                f"kill_after={args.kill_after}) and the harness waits one "
+                f"more 60-step window, but --steps is {args.steps}")
     if args.phase == "train":
         phase_train(args)
     else:

@@ -72,6 +72,26 @@ def test_save_async_survives_donation_of_live_state(tmp_path):
     assert int(jax.device_get(state["step"])) == 12
 
 
+def test_save_async_chunked_fetch_big_leaf(tmp_path):
+    """Leaves larger than the fetch chunk (8 MB — the flat AMSGrad moment
+    vectors are ~120 MB) are fetched slice-by-slice so training-step
+    uploads can interleave; bytes must equal a whole-array fetch,
+    including the shifted final window."""
+    from lass_tpu.train.checkpoint import _FETCH_CHUNK_BYTES, _fetch_chunked
+
+    n = _FETCH_CHUNK_BYTES // 4 * 3 + 12345  # 3.x chunks, ragged tail
+    leaf = jnp.arange(n, dtype=jnp.float32) * 0.5
+    np.testing.assert_array_equal(_fetch_chunked(leaf), np.asarray(leaf))
+
+    state = {"big": leaf, "small": jnp.ones((3,), jnp.int32)}
+    ckpt = CheckpointManager(str(tmp_path / "g"), 1)
+    ckpt.save_async(1, state)
+    ckpt.wait()
+    restored = ckpt.restore(abstract(state))
+    np.testing.assert_array_equal(np.asarray(restored["big"]),
+                                  np.asarray(leaf))
+
+
 def test_save_async_error_propagates(tmp_path):
     ckpt = CheckpointManager(str(tmp_path / "e"), 1)
     # an unserializable leaf makes the background orbax write throw; the
