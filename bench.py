@@ -265,7 +265,12 @@ def bench_train_sustained(result: dict, batch: int,
     checkpoint / metric fetches) so the JSON says WHERE non-jit time went.
     Checkpointing fires mid-run (steps//2) through the NON-BLOCKING save
     path (train/checkpoint.py:save_async) — the r4 bench measured a 37.4 s
-    main-thread stall per save on the old blocking path.
+    main-thread stall per save on the old blocking path. Each save still
+    costs ~40-80 s of tunnel bandwidth for its 400 MB background fetch; at
+    the default 1000 steps the bench saves every 500 steps, which is ~60x
+    DENSER than the reference's production cadence (save every 20k steps,
+    config/audiosep_base.yaml:46), so the reported frac_of_jit is a
+    conservative bound on a production run's.
     BENCH_SUSTAIN=0 skips; BENCH_SUSTAIN_STEPS sets the length;
     BENCH_SUSTAIN_HYBRID=1 additionally measures use_text_ratio=0.5
     (audio-conditioned steps round-trip mix -> CLAP-embed -> premixed
@@ -276,7 +281,7 @@ def bench_train_sustained(result: dict, batch: int,
     from lass_tpu.data.synth import make_synth_corpus, write_train_config
     from lass_tpu.train.loop import Trainer
 
-    steps = int(os.environ.get("BENCH_SUSTAIN_STEPS", "500"))
+    steps = int(os.environ.get("BENCH_SUSTAIN_STEPS", "1000"))
     datafile = make_synth_corpus("/tmp/lass_bench_corpus")
     ws = "/tmp/lass_bench_sustained"
     shutil.rmtree(ws, ignore_errors=True)

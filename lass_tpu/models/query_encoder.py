@@ -46,6 +46,7 @@ class CLAPQueryEncoder:
         rng_seed: int = 0,
         tmodel: str = "roberta",
         text_cfg: Optional[Any] = None,
+        text_embed_cache: int = 4096,
     ):
         """tmodel selects the text branch + its host tokenizer, mirroring
         the reference's --tmodel / per-branch tokenizer selection
@@ -53,7 +54,24 @@ class CLAPQueryEncoder:
         'roberta' (default, byte-BPE), 'bert' (WordPiece, vocab via
         LASS_TPU_BERT_VOCAB), 'bart' (byte-BPE, vocab via
         LASS_TPU_BART_VOCAB_DIR). text_cfg overrides the branch config
-        (BertConfig/BartConfig) for non-roberta branches."""
+        (BertConfig/BartConfig) for non-roberta branches.
+
+        text_embed_cache: per-caption LRU over the text branch (entries;
+        0 disables). The encoder is FROZEN in AudioSep training (the
+        reference never backprops through CLAP, clap_encoder.py:29-33),
+        so a caption's embedding is a pure function of the string:
+        tokenization is per-caption, transformer rows are batch-
+        independent, and the encoder is padding-invariant (masked
+        attention + masked pooling) — assembling a batch from cached
+        rows equals recomputing: bit-exact when the batches land in the
+        same ``pad_to`` bucket (the common case; pinned in
+        tests/test_query_encoder.py), and within mask-invariance
+        tolerance (~1e-6, same as test_single_caption_no_doubling_hack)
+        when a long caption bumps a batch to a larger bucket. Real corpora repeat
+        captions tens of times across an epoch; with the cache warm the
+        per-step conditioning cost drops to a 32 KB host stack, which is
+        what lets sustained wall-clock training track the in-jit rate
+        (bench.py train_sustained_*)."""
         self.tmodel = tmodel
         if tmodel == "roberta":
             self.text_model = CLAPTextEncoder(roberta_cfg, joint_embed_dim)
@@ -92,6 +110,12 @@ class CLAPQueryEncoder:
         self._jit_text = jax.jit(
             lambda params, ids, mask: self.text_model.apply(
                 {"params": params}, ids, mask))
+        from collections import OrderedDict
+
+        self._embed_cache_size = int(text_embed_cache)
+        self._embed_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self.embed_cache_hits = 0
+        self.embed_cache_misses = 0
 
     def _default_tokenizer(self, roberta_cfg) -> Callable:
         from lass_tpu.models.clap.tokenizer import (
@@ -138,12 +162,34 @@ class CLAPQueryEncoder:
         return enc
 
     # -- modality paths ---------------------------------------------------
-    def _get_text_embed(self, texts: Sequence[str]) -> jax.Array:
+    def _embed_text_batch(self, texts: Sequence[str]) -> jax.Array:
         tok = self.tokenizer(texts, max_length=self.max_length,
                              pad_to=self.pad_to)
         return self._jit_text(self.text_params,
                               jnp.asarray(tok["input_ids"]),
                               jnp.asarray(tok["attention_mask"]))
+
+    def _get_text_embed(self, texts: Sequence[str]) -> jax.Array:
+        cache = self._embed_cache
+        if not self._embed_cache_size:
+            return self._embed_text_batch(texts)
+        if all(t in cache for t in texts):
+            self.embed_cache_hits += 1
+            rows = [cache[t] for t in texts]
+            for t in texts:  # refresh LRU order
+                cache.move_to_end(t)
+            return jnp.asarray(np.stack(rows))
+        # miss: embed the WHOLE batch (keeps one jit shape per batch size
+        # instead of one per miss-count) and cache every row
+        self.embed_cache_misses += 1
+        out = self._embed_text_batch(texts)
+        rows = np.asarray(jax.device_get(out))
+        for t, row in zip(texts, rows):
+            cache[t] = row
+            cache.move_to_end(t)
+        while len(cache) > self._embed_cache_size:
+            cache.popitem(last=False)
+        return out
 
     def _get_audio_embed(self, audio: jax.Array) -> jax.Array:
         if self.audio_embed_fn is None:

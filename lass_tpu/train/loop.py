@@ -392,7 +392,10 @@ class Trainer:
                     timing["dispatch"] += pc() - t0
                     if step % log_every == 0 or step == 1:
                         t0 = pc()
-                        loss = float(metrics["train_loss"])
+                        # one device_get for both scalars: each separate
+                        # fetch pays a full tunnel round-trip (~29 ms)
+                        loss, gnorm = map(float, jax.device_get(
+                            (metrics["train_loss"], metrics["grad_norm"])))
                         timing["metrics_fetch"] += pc() - t0
                         dt = pc() - t_last
                         t_last = pc()
@@ -401,7 +404,7 @@ class Trainer:
                                      step, loss, sps)
                         self.metrics.log(step, {
                             "train_loss": loss,
-                            "grad_norm": float(metrics["grad_norm"]),
+                            "grad_norm": gnorm,
                             "steps_per_sec": sps,
                         })
                     if (eval_hook is not None

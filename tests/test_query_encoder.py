@@ -42,6 +42,34 @@ def test_hybrid_text_only_when_ratio_1(encoder):
         assert out.shape == (1, 512)
 
 
+def test_text_embed_cache_bit_exact(encoder):
+    """The per-caption LRU (frozen-encoder memoization) must return
+    BIT-identical embeddings to recomputation, in any batch order."""
+    fresh = CLAPQueryEncoder(roberta_cfg=SMALL, rng_seed=0,
+                             text_embed_cache=0)
+    texts = ["a dog barking", "heavy rain on a roof", "a violin"]
+    warm = np.asarray(encoder.get_query_embed("text", text=texts))
+    h0 = encoder.embed_cache_hits
+    # full-hit assembly, permuted order
+    perm = [texts[2], texts[0], texts[1]]
+    cached = np.asarray(encoder.get_query_embed("text", text=perm))
+    assert encoder.embed_cache_hits == h0 + 1
+    uncached = np.asarray(fresh.get_query_embed("text", text=perm))
+    np.testing.assert_array_equal(cached, warm[[2, 0, 1]])
+    np.testing.assert_allclose(cached, uncached, atol=1e-6)
+
+
+def test_text_embed_cache_eviction_and_disable():
+    enc = CLAPQueryEncoder(roberta_cfg=SMALL, rng_seed=0,
+                           text_embed_cache=2)
+    enc.get_query_embed("text", text=["t0", "t1", "t2"])  # 3 > capacity 2
+    assert len(enc._embed_cache) == 2 and "t0" not in enc._embed_cache
+    off = CLAPQueryEncoder(roberta_cfg=SMALL, rng_seed=0,
+                           text_embed_cache=0)
+    off.get_query_embed("text", text=["t0"])
+    assert not off._embed_cache and off.embed_cache_misses == 0
+
+
 def test_audio_path_raises_without_htsat(encoder):
     with pytest.raises(NotImplementedError):
         encoder.get_query_embed("audio", audio=jnp.zeros((1, 32000)))
